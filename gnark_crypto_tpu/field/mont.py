@@ -266,6 +266,40 @@ def _carry_scan_ext(spec: FieldSpec, t):
 
 
 # ---------------------------------------------------------------------------
+# vector reductions (reference: Vector.Sum / InnerProduct, vector_amd64.go)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=0)
+def sum_reduce(spec: FieldSpec, x):
+    """Modular sum along the leading axis: (N, ..., L) -> (..., L).
+
+    Pairwise tree of modular adds (log2 N vectorized stages) — keeps every
+    intermediate < q, so no extended-precision accumulator is needed.
+    """
+    n = x.shape[0]
+    while n > 1:
+        half = n // 2
+        lo, hi = x[:half], x[half : 2 * half]
+        red = add(spec, lo, hi)
+        if n % 2:
+            x = jnp.concatenate([red, x[2 * half :]], axis=0)
+        else:
+            x = red
+        n = x.shape[0]
+    return x[0]
+
+
+def inner_product(spec: FieldSpec, x, y):
+    """<x, y> along the leading axis (``vector_amd64.go:118`` InnerProduct)."""
+    return sum_reduce(spec, mul(spec, x, y))
+
+
+def scalar_mul_vec(spec: FieldSpec, x, s):
+    """Vector * broadcast scalar (``vector_amd64.go`` ScalarMul)."""
+    return mul(spec, x, s[None] if s.ndim == x.ndim - 1 else s)
+
+
+# ---------------------------------------------------------------------------
 # predicates / select
 # ---------------------------------------------------------------------------
 

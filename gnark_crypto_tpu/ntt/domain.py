@@ -1,0 +1,93 @@
+"""FFT/NTT domain: roots of unity, twiddle tables, coset tables.
+
+TPU-native counterpart of ``ecc/bn254/fr/fft/domain.go``. Same mathematical
+layout as the reference (twiddles[stage][j] = w^(j*2^stage), coset table
+u^i — ``domain.go:42-54``, ``buildTwiddles`` ``domain.go:277-298``), but the
+tables are built *on device* with log-doubling vectorized multiplies and the
+per-stage tables are strided views of the stage-0 table instead of separate
+allocations. Works for any registered field engine (bn254 fr ... koalabear).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gnark_crypto_tpu.field.api import FieldEngine, for_spec
+from gnark_crypto_tpu.specs.field import FieldSpec
+
+
+def _exp_table(eng: FieldEngine, w, n: int):
+    """[w^0, ..., w^(n-1)] (Montgomery) via log2(n) doubling steps.
+
+    Reference builds this with a parallel segment walk (``BuildExpTable``,
+    ``domain.go:300``); on TPU the doubling form P -> concat(P, P*w^|P|) is a
+    handful of fused vectorized muls.
+    """
+    assert n & (n - 1) == 0, "table size must be a power of two"
+    table = eng.ones((1,))
+    stride = w[None]
+    while table.shape[0] < n:
+        table = jnp.concatenate([table, eng.mul(table, stride)], axis=0)
+        stride = eng.square(stride)
+    return table
+
+
+class Domain:
+    """Radix-2 evaluation domain of size 2^k (any registered field).
+
+    Mirrors the reference Domain: Generator (primitive n-th root),
+    GeneratorInv, CardinalityInv, FrMultiplicativeGen (coset shift u),
+    twiddle + coset tables (``domain.go:24-58``).
+    """
+
+    def __init__(self, spec_or_eng, n: int, shift: int | None = None,
+                 with_coset: bool = True):
+        eng = (spec_or_eng if isinstance(spec_or_eng, FieldEngine)
+               else for_spec(spec_or_eng))
+        spec = eng.spec
+        assert n & (n - 1) == 0 and n > 0, "cardinality must be a power of two"
+        k = n.bit_length() - 1
+        if k > spec.two_adicity:
+            raise ValueError(
+                f"{spec.name}: 2-adicity {spec.two_adicity} < log2(n)={k}")
+        if spec.two_adic_root is None:
+            raise ValueError(f"{spec.name} has no configured 2-adic root")
+        self.eng = eng
+        self.spec = spec
+        self.n = n
+        self.k = k
+        q = spec.modulus
+        # Generator = root^(2^(s-k)) -> order exactly n (domain.go:202)
+        self.generator_int = pow(spec.two_adic_root, 1 << (spec.two_adicity - k), q)
+        self.generator_inv_int = pow(self.generator_int, -1, q)
+        self.cardinality_inv_int = pow(n, -1, q)
+        u = spec.generator if shift is None else shift
+        if u is None:
+            raise ValueError(f"{spec.name} has no multiplicative generator")
+        self.shift_int = u % q
+        self.shift_inv_int = pow(self.shift_int, -1, q)
+
+        self.generator = eng.from_int(self.generator_int)
+        self.generator_inv = eng.from_int(self.generator_inv_int)
+        self.cardinality_inv = eng.from_int(self.cardinality_inv_int)
+
+        # stage-0 twiddles: w^j for j in [0, n/2); stage s reads t0[::2^s]
+        if n >= 2:
+            self.twiddles0 = _exp_table(eng, self.generator, n // 2)
+            self.twiddles0_inv = _exp_table(eng, self.generator_inv, n // 2)
+        else:
+            self.twiddles0 = eng.ones((1,))
+            self.twiddles0_inv = eng.ones((1,))
+        if with_coset:
+            self.coset_table = _exp_table(eng, eng.from_int(self.shift_int), n)
+            self.coset_table_inv = _exp_table(
+                eng, eng.from_int(self.shift_inv_int), n)
+        else:
+            self.coset_table = None
+            self.coset_table_inv = None
+
+    def stage_twiddles(self, stage: int, inverse: bool = False) -> jax.Array:
+        """Twiddles for one stage: w^(j*2^stage), j in [0, n/2^(stage+1))."""
+        t0 = self.twiddles0_inv if inverse else self.twiddles0
+        return t0[:: 1 << stage][: self.n >> (stage + 1)]

@@ -1,0 +1,137 @@
+"""Radix-2 NTT over batched field arrays — single-chip programs.
+
+TPU-native counterpart of ``ecc/bn254/fr/fft/fft.go``. Semantics match the
+reference exactly (bit-exact outputs):
+
+  * ``fft(a, DIF)``  : natural-order input  -> bit-reversed output
+  * ``fft(a, DIT)``  : bit-reversed input   -> natural-order output
+  * ``fft_inverse``  : same decimations with inverse twiddles + 1/n scale
+  * ``coset=True``   : evaluate on u*<g> — pre-scale by u^i (DIF) /
+    u^bitrev(i) (DIT); inverse post-scales by u^-i (fft.go:44-106,145-194)
+
+Where the reference does fork-join recursion into unrolled leaf kernels
+(``difFFT`` fft.go:196-266, ``kerDIFNP_256`` fft.go:389+), the TPU program is
+k fully-vectorized stages: stage s views the array as (2^s, 2, n/2^(s+1))
+blocks and applies one batched butterfly over a constant (n/2)-element shape,
+so XLA compiles a single fused elementwise kernel per stage shape; there is
+no recursion and no scalar loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnark_crypto_tpu.ntt.domain import Domain
+
+DIF = "DIF"
+DIT = "DIT"
+Decimation = Literal["DIF", "DIT"]
+
+
+@functools.lru_cache(maxsize=None)
+def _bitrev_perm(n: int) -> np.ndarray:
+    k = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.int32)
+    rev = np.zeros(n, dtype=np.int32)
+    for b in range(k):
+        rev |= ((idx >> b) & 1) << (k - 1 - b)
+    return rev
+
+
+def bit_reverse(a: jax.Array) -> jax.Array:
+    """Bit-reversal permutation along the leading axis (utils/bitreverse.go:14).
+
+    One XLA gather — the reference's cache-oblivious COBRA tiling
+    (bitreverse.go:57) is unnecessary on TPU where gathers stream from HBM.
+    """
+    n = a.shape[0]
+    return a[jnp.asarray(_bitrev_perm(n))]
+
+
+def _split(eng, a, s):
+    n = a.shape[0]
+    half = n >> (s + 1)
+    v = eng.reshape(a, (1 << s, 2, half))
+    return (eng.reshape(v[:, 0], (n // 2,)),
+            eng.reshape(v[:, 1], (n // 2,)))
+
+
+def _join(eng, lo, hi, s, n):
+    half = n >> (s + 1)
+    lo = eng.reshape(lo, (1 << s, 1, half))
+    hi = eng.reshape(hi, (1 << s, 1, half))
+    return eng.reshape(jnp.concatenate([lo, hi], axis=1), (n,))
+
+
+def _dif_stages(eng, a, twiddle_fn, k):
+    n = a.shape[0]
+    for s in range(k):
+        lo, hi = _split(eng, a, s)
+        tw = eng.tile_lead(twiddle_fn(s), 1 << s)
+        out_lo = eng.add(lo, hi)
+        out_hi = eng.mul(eng.sub(lo, hi), tw)
+        a = _join(eng, out_lo, out_hi, s, n)
+    return a
+
+
+def _dit_stages(eng, a, twiddle_fn, k):
+    n = a.shape[0]
+    for s in range(k - 1, -1, -1):
+        lo, hi = _split(eng, a, s)
+        tw = eng.tile_lead(twiddle_fn(s), 1 << s)
+        hi = eng.mul(hi, tw)
+        out_lo = eng.add(lo, hi)
+        out_hi = eng.sub(lo, hi)
+        a = _join(eng, out_lo, out_hi, s, n)
+    return a
+
+
+def fft(domain: Domain, a: jax.Array, decimation: Decimation = DIF,
+        coset: bool = False) -> jax.Array:
+    """Forward NTT; layout conventions as in the module docstring."""
+    eng = domain.eng
+    n = domain.n
+    assert a.shape[0] == n, (a.shape, n)
+    if coset:
+        table = domain.coset_table
+        if decimation == DIT:
+            table = bit_reverse(table)
+        a = eng.mul(a, table)
+    tw = lambda s: domain.stage_twiddles(s, inverse=False)
+    if decimation == DIF:
+        return _dif_stages(eng, a, tw, domain.k)
+    return _dit_stages(eng, a, tw, domain.k)
+
+
+def fft_inverse(domain: Domain, a: jax.Array, decimation: Decimation = DIF,
+                coset: bool = False) -> jax.Array:
+    """Inverse NTT (+ 1/n scale; + coset unscale when coset=True)."""
+    eng = domain.eng
+    n = domain.n
+    assert a.shape[0] == n
+    tw = lambda s: domain.stage_twiddles(s, inverse=True)
+    if decimation == DIF:
+        a = _dif_stages(eng, a, tw, domain.k)
+    else:
+        a = _dit_stages(eng, a, tw, domain.k)
+    card_inv = eng.broadcast_to(domain.cardinality_inv, (1,))
+    if not coset:
+        return eng.mul(a, card_inv)
+    table = domain.coset_table_inv
+    if decimation == DIF:
+        table = bit_reverse(table)
+    scale = eng.mul(table, card_inv)
+    return eng.mul(a, scale)
+
+
+def make_fft_fn(domain: Domain, decimation: Decimation = DIF,
+                coset: bool = False, inverse: bool = False):
+    """Return a jitted a -> fft(a) closure over the domain's tables."""
+    if inverse:
+        return jax.jit(lambda a: fft_inverse(domain, a, decimation, coset))
+    return jax.jit(lambda a: fft(domain, a, decimation, coset))

@@ -1,0 +1,99 @@
+"""Curve specifications (G1 for now; G2/towers carry their own specs).
+
+TPU-native replacement for the per-curve init blocks the reference generates
+(e.g. ``ecc/bn254/bn254.go:46-160``): short Weierstrass y^2 = x^3 + ax + b
+over fp, scalar field fr, generator, GLV endomorphism constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+from gnark_crypto_tpu.specs import field as fs
+from gnark_crypto_tpu.specs.field import FieldSpec
+
+
+def _lattice_2d(r: int, lam: int):
+    """Gauss-reduced basis of {(a, b) : a + b*lam == 0 mod r}.
+
+    Mirrors ``ecc.PrecomputeLattice`` (/root/reference/ecc/utils.go:110-186):
+    half-GCD style truncated Euclid on (r, lam) yielding two short vectors
+    V1=(a1, -b1), V2=(a2, -b2) with a_i + b_i*lam ≡ 0 (mod r).
+    """
+    # truncated extended Euclid: stop when remainder < sqrt(r)
+    rs = [r, lam]
+    ts = [0, 1]
+    while rs[-1] * rs[-1] >= r:
+        q = rs[-2] // rs[-1]
+        rs.append(rs[-2] - q * rs[-1])
+        ts.append(ts[-2] - q * ts[-1])
+    # vectors (r_i, -t_i) satisfy r_i ≡ t_i * lam (mod r)
+    v1 = (rs[-1], -ts[-1])
+    v2 = (rs[-2], -ts[-2])
+    # pick the shorter of v2 and the previous for the second basis vector
+    return v1, v2
+
+
+@dataclasses.dataclass(frozen=True)
+class CurveSpec:
+    name: str
+    fp: FieldSpec
+    fr: FieldSpec
+    a: int
+    b: int
+    gx: int
+    gy: int
+    cofactor: int = 1
+    # GLV endomorphism phi(x,y) = (thirdRootOne * x, y), phi(P) = [lambda]P
+    glv_lambda: int | None = None
+    glv_third_root: int | None = None
+
+    @functools.cached_property
+    def glv_basis(self):
+        if self.glv_lambda is None:
+            return None
+        return _lattice_2d(self.fr.modulus, self.glv_lambda)
+
+    def __repr__(self):
+        return f"CurveSpec({self.name})"
+
+
+_REGISTRY: dict[str, CurveSpec] = {}
+
+
+def register(spec: CurveSpec) -> CurveSpec:
+    _REGISTRY[spec.name] = spec
+    return spec
+
+
+def get_curve(name: str) -> CurveSpec:
+    return _REGISTRY[name]
+
+
+def all_curves() -> dict[str, CurveSpec]:
+    return dict(_REGISTRY)
+
+
+# constants below are from each curve's init() in the reference
+# (/root/reference/ecc/<curve>/<curve>.go)
+
+BN254_G1 = register(CurveSpec(
+    name="bn254_g1",
+    fp=fs.BN254_FP,
+    fr=fs.BN254_FR,
+    a=0, b=3, gx=1, gy=2,
+    glv_lambda=4407920970296243842393367215006156084916469457145843978461,
+    glv_third_root=2203960485148121921418603742825762020974279258880205651966,
+))
+
+GRUMPKIN_G1 = register(CurveSpec(
+    # ecc/grumpkin/grumpkin.go:63-77: y^2 = x^3 - 17, gen (1, sqrt(-16))
+    name="grumpkin_g1",
+    fp=fs.GRUMPKIN_FP,
+    fr=fs.GRUMPKIN_FR,
+    a=0, b=-17, gx=1,
+    gy=17631683881184975370165255887551781615748388533673675138860,
+    glv_lambda=2203960485148121921418603742825762020974279258880205651966,
+    glv_third_root=4407920970296243842393367215006156084916469457145843978461,
+))

@@ -281,9 +281,12 @@ STARK_FP = register(make_field_spec(
 GOLDILOCKS = register(make_field_spec(
     "goldilocks", 0xFFFFFFFF00000001, limb_bits=13, generator=7,
 ))
+# limb_bits=32: single uint32 lane, Montgomery radix 2^32 (Plonky3-style —
+# the reference's AVX-512 F31 kernels use the same radix,
+# internal/generator/field/asm/amd64/element_vec_F31.go:253)
 KOALABEAR = register(make_field_spec(
-    "koalabear", 0x7F000001, limb_bits=31, generator=3,
+    "koalabear", 0x7F000001, limb_bits=32, generator=3,
 ))
 BABYBEAR = register(make_field_spec(
-    "babybear", 0x78000001, limb_bits=31, generator=31,
+    "babybear", 0x78000001, limb_bits=32, generator=31,
 ))

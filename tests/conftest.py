@@ -1,14 +1,16 @@
-"""Test harness config: force an 8-device virtual CPU mesh before jax import.
+"""Test harness config: force an 8-device virtual CPU mesh before backend init.
 
 Mirrors the reference's CI trick of re-running with `-tags=purego` to force
-portable paths (/root/reference/.github/workflows/pr.yml:73-78): here all tests
-run on CPU (exact int32 semantics identical to TPU) with 8 virtual devices so
+portable paths (/root/reference/.github/workflows/pr.yml:73-78): all tests run
+on CPU (exact int32 semantics, identical to TPU) with 8 virtual devices so
 sharding/collective code paths are exercised without real hardware.
+
+NOTE: in this environment the JAX_PLATFORMS env var is ignored (axon plugin);
+jax.config.update('jax_platforms', ...) is authoritative.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +19,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+# Persistent compile cache: scan/fori-heavy bigint graphs compile in ~0.5-2s
+# each on CPU; cache makes repeated test runs cheap.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
