@@ -1,0 +1,223 @@
+"""Multi-scalar multiplication (Pippenger) — TPU-native bucket method.
+
+Counterpart of the reference's ``ecc/bn254/multiexp.go`` (``MultiExp``,
+``partitionScalars:710``, ``processChunkG1BatchAffine``), re-designed for XLA:
+
+  * signed window digits (same math as ``partitionScalars`` — signed digits
+    in [-2^(c-1), 2^(c-1)] halve the bucket count) computed limb-parallel;
+  * the data-dependent *bucket scatter* (reference hot loops A/B) does not
+    vectorize; instead each window sorts points by digit magnitude (XLA sort,
+    cheap vs field ops) and reduces equal-digit runs with a **segmented
+    associative scan** (work-efficient: ~2N masked point-adds over full-width
+    lanes, ~2 log2 N sequential rounds instead of N sequential bucket writes);
+  * segment tails scatter into the bucket array with a plain XLA ``set``
+    scatter (unique indices — no combining needed);
+  * the weighted bucket sweep runs once, vectorized across all windows;
+  * final window fold = Horner with c doublings per window
+    (``msmReduceChunkG1Affine`` multiexp.go:303).
+
+Everything is one jit program per (curve, N, c); scalars are plain (non-
+Montgomery) fr values.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gnark_crypto_tpu.curve.jacobian import Affine, Curve, Jac, _sel, curve_ops
+from gnark_crypto_tpu.specs.curve import CurveSpec
+
+
+def best_c(n: int) -> int:
+    """Window size heuristic (reference bestC cost model, multiexp.go:76-96)."""
+    if n <= 1 << 5:
+        return 3
+    if n <= 1 << 8:
+        return 5
+    if n <= 1 << 12:
+        return 8
+    if n <= 1 << 16:
+        return 10
+    if n <= 1 << 20:
+        return 13
+    return 16
+
+
+def signed_digits(curve: Curve, scalars, c: int):
+    """Decompose plain fr scalars into signed base-2^c digits.
+
+    Returns (mags, negs): int32[(nwin, N)] magnitudes in [0, 2^(c-1)] and
+    sign masks. Same borrow cascade as ``partitionScalars`` multiexp.go:757+.
+    """
+    fr = curve.fr
+    nbits = fr.spec.modulus.bit_length()
+    nwin = -(-nbits // c) + 1  # +1: final borrow can spill into a top window
+    half = 1 << (c - 1)
+    full = 1 << c
+
+    if fr.elem_dims:
+        b = fr.spec.limb_bits
+        L = fr.spec.n_limbs
+
+        def window_bits(w):
+            lo = w * c
+            val = None
+            for i in range(L):
+                lstart = i * b
+                if lstart + b <= lo or lstart >= lo + c:
+                    continue
+                piece = scalars[..., i]
+                if lstart >= lo:
+                    sh = lstart - lo
+                    part = piece << sh if sh else piece
+                else:
+                    part = piece >> (lo - lstart)
+                val = part if val is None else val | part
+            if val is None:
+                val = jnp.zeros(scalars.shape[:-1], jnp.int32)
+            return val & (full - 1)
+    else:
+        def window_bits(w):
+            lo = w * c
+            if lo >= 32:
+                return jnp.zeros(scalars.shape, jnp.int32)
+            return ((scalars >> jnp.uint32(lo)).astype(jnp.int32)) & (full - 1)
+
+    mags, negs = [], []
+    carry = None
+    for w in range(nwin):
+        t = window_bits(w)
+        if carry is not None:
+            t = t + carry
+        big = t > half
+        carry = big.astype(jnp.int32)
+        mag = jnp.where(big, full - t, t)
+        mags.append(mag)
+        negs.append(big)
+    return jnp.stack(mags), jnp.stack(negs)
+
+
+def _bucket_accumulate(curve: Curve, points: Affine, mag, neg, c: int):
+    """One window: -> bucket array Jac[(2^(c-1)+1, ...)] (slot 0 unused)."""
+    f = curve.fp
+    n = mag.shape[0]
+    half = 1 << (c - 1)
+
+    # signed point selection; digit 0 -> infinity
+    py = f.where(neg, f.neg(points.y), points.y)
+    pj = curve.from_affine(Affine(points.x, py))
+    pj = _sel(f, mag == 0, curve.inf_jac(f.eshape(points.x)), pj)
+
+    order = jnp.argsort(mag)
+    mag_s = mag[order]
+    pj_s = jax.tree.map(lambda a: a[order], pj)
+
+    # segmented inclusive scan over equal-digit runs, log-stride style:
+    # after the pass with stride d, scan[i] = sum of the last 2d elements of
+    # i's run ending at i; log2(N) fully-vectorized masked point-adds, so the
+    # traced graph is O(log N) (an associative_scan would unroll O(N) adds).
+    scan = pj_s
+    d = 1
+    while d < n:
+        shifted = jax.tree.map(
+            lambda a: jnp.concatenate([a[:d], a[:-d]], axis=0), scan)
+        same = jnp.concatenate(
+            [jnp.zeros((d,), bool), mag_s[d:] == mag_s[:-d]])
+        merged = curve.add(Jac(*scan), Jac(*shifted))
+        scan = _sel(f, same, merged, Jac(*scan))
+        d *= 2
+
+    # segment tails: last index of each equal-digit run
+    nxt = jnp.concatenate([mag_s[1:], jnp.full((1,), -1, mag_s.dtype)])
+    is_tail = mag_s != nxt
+    # scatter tails into buckets; dummies go to slot 0 (digit 0 = unused)
+    idx = jnp.where(is_tail, mag_s, 0)
+    buckets = curve.inf_jac((half + 1,))
+    buckets = Jac(*(bc.at[idx].set(f.where(is_tail, sc, bc[idx]))
+                    for bc, sc in zip(buckets, scan)))
+    return buckets
+
+
+def _weighted_sweep(curve: Curve, buckets: Jac, c: int):
+    """buckets (nwin, half+1, ...) -> window totals sum_j j*B_j (nwin, ...).
+
+    Running-sum sweep (multiexp.go bucket sweep), vectorized across windows:
+    for j = half..1: S += B_j; T += S.
+    """
+    f = curve.fp
+    half = 1 << (c - 1)
+    nwin = buckets.x.shape[0]
+    s0 = curve.inf_jac((nwin,))
+    t0 = curve.inf_jac((nwin,))
+
+    rev = jax.tree.map(lambda a: a[:, 1:][:, ::-1].swapaxes(0, 1), buckets)
+
+    def body(carry, bj):
+        s, t = carry
+        s = curve.add(s, Jac(*bj))
+        t = curve.add(t, s)
+        return (s, t), None
+
+    (s, t), _ = lax.scan(body, (s0, t0), tuple(rev))
+    return t
+
+
+def _fold_windows(curve: Curve, totals: Jac, c: int):
+    """Horner fold: acc = sum_w 2^(cw) * T_w (msmReduceChunkG1Affine).
+
+    lax.scan over windows, c static doublings per step — graph stays O(c).
+    """
+    nwin = totals.x.shape[0]
+    acc = Jac(*jax.tree.map(lambda a: a[nwin - 1], totals))
+    rest = jax.tree.map(lambda a: a[: nwin - 1][::-1], totals)
+
+    def body(acc, tw):
+        for _ in range(c):
+            acc = curve.double(acc)
+        return curve.add(acc, Jac(*tw)), None
+
+    acc, _ = lax.scan(body, acc, tuple(rest))
+    return acc
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _msm_jit(spec: CurveSpec, px, py, c: int, scalars=None):
+    curve = curve_ops(spec)
+    points = Affine(px, py)
+    mags, negs = signed_digits(curve, scalars, c)
+    nwin = mags.shape[0]
+
+    def window(w_carry, xs):
+        mag, neg = xs
+        return w_carry, _bucket_accumulate(curve, points, mag, neg, c)
+
+    _, buckets = lax.scan(window, 0, (mags, negs))
+    totals = _weighted_sweep(curve, buckets, c)
+    return _fold_windows(curve, totals, c)
+
+
+def msm(spec: CurveSpec, points: Affine, scalars, c: int | None = None) -> Jac:
+    """MultiExp: sum_i scalars[i] * points[i] (reference multiexp.go:21).
+
+    points: Affine batch (N); scalars: plain fr array (N). Returns Jac.
+    """
+    n = points.x.shape[0]
+    assert scalars.shape[0] == n, "len(points) != len(scalars)"
+    c = c or best_c(n)
+    return _msm_jit(spec, points.x, points.y, c, scalars=scalars)
+
+
+def msm_naive(spec: CurveSpec, points: Affine, scalars) -> Jac:
+    """Reference oracle: per-point scalar_mul + tree add (for tests)."""
+    curve = curve_ops(spec)
+    pj = curve.from_affine(points)
+    prods = curve.scalar_mul(pj, scalars)
+    acc = jax.tree.map(lambda a: a[0], prods)
+    acc = Jac(*acc)
+    for i in range(1, points.x.shape[0]):
+        acc = curve.add(acc, Jac(*jax.tree.map(lambda a: a[i], prods)))
+    return acc

@@ -1,0 +1,65 @@
+"""MSM vs Python oracle (reference: multiexp_test.go MSM-vs-naive)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from gnark_crypto_tpu.curve.jacobian import curve_ops
+from gnark_crypto_tpu.msm import pippenger
+from gnark_crypto_tpu.specs import curve as cs
+from tests.test_curve_g1 import (affine_to_ints, oracle_add, oracle_mul,
+                                 pts_to_device, rand_points)
+
+
+def test_signed_digits_reconstruct():
+    curve = curve_ops(cs.get_curve("bn254_g1"))
+    r = curve.spec.fr.modulus
+    rng = random.Random(5)
+    vals = [0, 1, r - 1] + [rng.randrange(r) for _ in range(13)]
+    for c in (3, 8, 13):
+        k = curve.fr.from_int(vals, mont=False)
+        mags, negs = pippenger.signed_digits(curve, k, c)
+        mags = np.asarray(mags)
+        negs = np.asarray(negs)
+        for i, v in enumerate(vals):
+            acc = 0
+            for w in range(mags.shape[0]):
+                d = int(mags[w, i]) * (-1 if negs[w, i] else 1)
+                assert abs(d) <= 1 << (c - 1)
+                acc += d << (c * w)
+            assert acc == v, (c, i)
+
+
+@pytest.mark.parametrize("n,c", [(16, 3), (64, None)])
+def test_msm_vs_oracle(n, c):
+    spec = cs.get_curve("bn254_g1")
+    curve = curve_ops(spec)
+    p = curve.spec.fp.modulus
+    a = curve.spec.a % p
+    r = curve.spec.fr.modulus
+    pts = rand_points(curve, n, seed=n)
+    rng = random.Random(n + 1)
+    ks = [rng.randrange(r) for _ in range(n)]
+    ks[0] = 0  # edge: zero scalar
+    pts[1] = None  # edge: point at infinity
+
+    P = pts_to_device(curve, pts)
+    k_dev = curve.fr.from_int(ks, mont=False)
+    got = pippenger.msm(spec, P, k_dev, c=c)
+    got_aff = affine_to_ints(
+        curve, curve.to_affine(jax_tree_index(got)))[0]
+
+    expect = None
+    for pt, k in zip(pts, ks):
+        if pt is None:
+            continue
+        expect = oracle_add(expect, oracle_mul(pt, k, p, a), p, a)
+    assert got_aff == expect
+
+
+def jax_tree_index(jac):
+    """Wrap a scalar Jac into a batch of one for affine conversion."""
+    import jax
+
+    return jax.tree.map(lambda x: x[None], jac)
