@@ -35,13 +35,19 @@ class Jac(NamedTuple):
 
 
 class Curve:
-    """Binds a CurveSpec to its fp/fr engines and exposes the group ops."""
+    """Binds a CurveSpec to its fp/fr engines and exposes the group ops.
 
-    def __init__(self, spec: CurveSpec):
+    ``fp_eng`` may be an extension engine (towers.engine) — that is how G2
+    (curve over Fp2) reuses this exact code, with tuple-valued a/b/gx/gy in
+    the spec.
+    """
+
+    def __init__(self, spec: CurveSpec, fp_eng=None):
         self.spec = spec
-        self.fp: FieldEngine = for_spec(spec.fp)
+        self.fp = fp_eng if fp_eng is not None else for_spec(spec.fp)
         self.fr: FieldEngine = for_spec(spec.fr)
-        self.a_is_zero = spec.a % spec.fp.modulus == 0
+        a = spec.a
+        self.a_is_zero = all(c == 0 for c in a) if isinstance(a, tuple) else a == 0
 
     # -- constructors -------------------------------------------------------
     def const_affine(self, x: int, y: int) -> Affine:

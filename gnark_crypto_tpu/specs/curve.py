@@ -87,6 +87,30 @@ BN254_G1 = register(CurveSpec(
     glv_third_root=2203960485148121921418603742825762020974279258880205651966,
 ))
 
+BLS12_381_G1 = register(CurveSpec(
+    # ecc/bls12-381/bls12-381.go:106-138
+    name="bls12_381_g1",
+    fp=fs.BLS12_381_FP,
+    fr=fs.BLS12_381_FR,
+    a=0, b=4,
+    gx=3685416753713387016781088315183077757961620795782546409894578378688607592378376318836054947676345821548104185464507,
+    gy=1339506544944476473020471379941921221584933875938349620426543736416511423956333506472724655353366534992391756441569,
+    glv_lambda=228988810152649578064853576960394133503,
+    glv_third_root=4002409555221667392624310435006688643935503118305586438271171395842971157480381377015405980053539358417135540939436,
+))
+
+BLS12_377_G1 = register(CurveSpec(
+    # ecc/bls12-377/bls12-377.go:109-137
+    name="bls12_377_g1",
+    fp=fs.BLS12_377_FP,
+    fr=fs.BLS12_377_FR,
+    a=0, b=1,
+    gx=81937999373150964239938255573465948239988671502647976594219695644855304257327692006745978603320413799295628339695,
+    gy=241266749859715473739788878240585681733927191168601896383759122102112907357779751001206799952863815012735208165030,
+    glv_lambda=91893752504881257701523279626832445440,
+    glv_third_root=80949648264912719408558363140637477264845294720710499478137287262712535938301461879813459410945,
+))
+
 GRUMPKIN_G1 = register(CurveSpec(
     # ecc/grumpkin/grumpkin.go:63-77: y^2 = x^3 - 17, gen (1, sqrt(-16))
     name="grumpkin_g1",

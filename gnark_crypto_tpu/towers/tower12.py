@@ -1,0 +1,223 @@
+"""Degree-12 pairing towers (Fp2 -> Fp6 -> Fp12) for BN / BLS12 curves.
+
+TPU-native counterpart of the reference's ``ecc/<curve>/internal/fptower``:
+one generic :class:`Tower12` parameterized by (fp, beta, xi) assembles the
+engines and precomputes (host-side, exact ints) every Frobenius / twist
+constant the reference hardcodes in generated Go.
+
+E12 layout: array (..., 2, 3, 2, L) = [w][v][u][limb]; in gnark terms
+coefficient (i, j) is C{i}.B{j} and the flat ordering used in the cyclotomic
+formulas is x0..x5 = C0B0, C0B1, C0B2, C1B0, C1B1, C1B2.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from gnark_crypto_tpu.field.api import FieldEngine, for_spec
+from gnark_crypto_tpu.specs.field import FieldSpec
+from gnark_crypto_tpu.towers.engine import CubicExtEngine, QuadExtEngine
+
+
+# ---------------------------------------------------------------------------
+# host-side exact Fp2 arithmetic (for precomputing constants)
+# ---------------------------------------------------------------------------
+
+def _h2_mul(a, b, p, beta):
+    a0, a1 = a
+    b0, b1 = b
+    return ((a0 * b0 + beta * a1 * b1) % p, (a0 * b1 + a1 * b0) % p)
+
+
+def _h2_pow(a, e, p, beta):
+    r = (1, 0)
+    while e:
+        if e & 1:
+            r = _h2_mul(r, a, p, beta)
+        a = _h2_mul(a, a, p, beta)
+        e >>= 1
+    return r
+
+
+def _h2_inv(a, p, beta):
+    a0, a1 = a
+    norm = (a0 * a0 - beta * a1 * a1) % p
+    ninv = pow(norm, -1, p)
+    return (a0 * ninv % p, (-a1 * ninv) % p)
+
+
+class Tower12:
+    """Engines + constants for one Fp12 tower.
+
+    Args mirror the reference's per-curve choices:
+      beta: E2 non-residue (u^2 = beta), e.g. -1 (bn254/bls12-381)
+      xi:   E6 non-residue in E2 (v^3 = xi), e.g. (9, 1) for bn254
+    """
+
+    def __init__(self, name: str, fp_spec: FieldSpec, beta: int, xi: tuple):
+        self.name = name
+        self.fp_spec = fp_spec
+        self.p = fp_spec.modulus
+        self.beta = beta % self.p if beta > 0 else beta
+        self.xi = tuple(c % self.p for c in xi)
+        self.fp: FieldEngine = for_spec(fp_spec)
+        self.e2 = QuadExtEngine(self.fp, beta, tag=f"{name}_e2")
+
+        xi_dev = None  # built lazily per call to avoid early device use
+
+        def mul_by_xi(a, _self=self):
+            return _self._mul_by_xi(a)
+
+        self.e6 = CubicExtEngine(self.e2, self.xi, mul_by_nr=mul_by_xi,
+                                 tag=f"{name}_e6")
+        self.e12 = QuadExtEngine(self.e6, None,
+                                 mul_by_nr=self.e6.mul_by_v,
+                                 tag=f"{name}_e12")
+        self._precompute_frobenius()
+
+    # -- xi multiplication (specialized small-int forms) --------------------
+    def _mul_by_xi(self, a):
+        """a * xi for a in E2 (reference E2.MulByNonResidue)."""
+        e2, f = self.e2, self.fp
+        x0, x1 = self.xi
+        a0, a1 = e2.coeff(a, 0), e2.coeff(a, 1)
+        small = x0 <= 16 and (x1 <= 16)
+        if small and self.beta == -1:
+            # (x0 + x1 u)(a0 + a1 u) = (x0 a0 - x1 a1) + (x0 a1 + x1 a0) u
+            c0 = f.sub(f.mul_const(a0, x0), f.mul_const(a1, x1))
+            c1 = f.add(f.mul_const(a1, x0), f.mul_const(a0, x1))
+            return e2.build([c0, c1])
+        const = e2.broadcast_to(e2.from_int(self.xi), e2.eshape(a))
+        return e2.mul(a, const)
+
+    # -- frobenius constants ------------------------------------------------
+    def _precompute_frobenius(self):
+        p, beta, xi = self.p, self.beta, self.xi
+        # gamma1[i] = xi^(i*(p-1)/6), i=1..5 (E2 constants)
+        self.g1 = [_h2_pow(xi, i * (p - 1) // 6, p, beta) for i in range(6)]
+        p2 = p * p
+        # gamma2[i] = xi^(i*(p^2-1)/6) — lie in Fp (real)
+        self.g2 = [_h2_pow(xi, i * (p2 - 1) // 6, p, beta) for i in range(6)]
+        p3 = p2 * p
+        self.g3 = [_h2_pow(xi, i * (p3 - 1) // 6, p, beta) for i in range(6)]
+
+    @functools.lru_cache(maxsize=None)
+    def _gdev(self, which: int, i: int):
+        tbl = {1: self.g1, 2: self.g2, 3: self.g3}[which]
+        return self.e2.from_int(tbl[i])
+
+    # -- coefficient helpers -------------------------------------------------
+    def coeffs6(self, x):
+        """E12 -> tuple of 6 E2 coefficients x0..x5 (C0B0..C1B2)."""
+        e12, e6 = self.e12, self.e6
+        c0, c1 = e12.coeff(x, 0), e12.coeff(x, 1)
+        return tuple(e6.coeff(c0, j) for j in range(3)) + \
+            tuple(e6.coeff(c1, j) for j in range(3))
+
+    def from_coeffs6(self, cs):
+        e12, e6 = self.e12, self.e6
+        return e12.build([e6.build(cs[:3]), e6.build(cs[3:])])
+
+    # -- frobenius maps ------------------------------------------------------
+    def conjugate(self, x):
+        """x -> x0 - x1 w (= x^(p^6), the E12 conjugation)."""
+        return self.e12.conjugate(x)
+
+    def _frob_apply(self, x, which: int, conj: bool):
+        e2 = self.e2
+        cs = self.coeffs6(x)
+        # exponents of gamma for coefficients (C0B0,C0B1,C0B2,C1B0,C1B1,C1B2)
+        exps = (0, 2, 4, 1, 3, 5)
+        out = []
+        for c, e in zip(cs, exps):
+            v = e2.conjugate(c) if conj else c
+            if e:
+                g = e2.broadcast_to(self._gdev(which, e), e2.eshape(v))
+                v = e2.mul(v, g)
+            out.append(v)
+        return self.from_coeffs6(out)
+
+    def frobenius(self, x):
+        """x^p (reference e12.go Frobenius)."""
+        return self._frob_apply(x, 1, conj=True)
+
+    def frobenius_square(self, x):
+        """x^(p^2) — gamma2 are real, no conjugation."""
+        return self._frob_apply(x, 2, conj=False)
+
+    def frobenius_cube(self, x):
+        """x^(p^3)."""
+        return self._frob_apply(x, 3, conj=True)
+
+    # -- cyclotomic ops ------------------------------------------------------
+    def cyclotomic_square(self, x):
+        """Granger-Scott squaring in the cyclotomic subgroup
+        (reference e12.go:371 CyclotomicSquare; same op sequence)."""
+        e2 = self.e2
+        x0, x1, x2, x3, x4, x5 = self.coeffs6(x)
+        t0 = e2.square(x4)
+        t1 = e2.square(x0)
+        t6 = e2.sub(e2.sub(e2.square(e2.add(x4, x0)), t0), t1)   # 2*x4*x0
+        t2 = e2.square(x2)
+        t3 = e2.square(x3)
+        t7 = e2.sub(e2.sub(e2.square(e2.add(x2, x3)), t2), t3)   # 2*x2*x3
+        t4 = e2.square(x5)
+        t5 = e2.square(x1)
+        t8 = self._mul_by_xi(
+            e2.sub(e2.sub(e2.square(e2.add(x5, x1)), t4), t5))   # 2*x5*x1*xi
+        t0 = e2.add(self._mul_by_xi(t0), t1)   # x4^2 xi + x0^2
+        t2 = e2.add(self._mul_by_xi(t2), t3)   # x2^2 xi + x3^2
+        t4 = e2.add(self._mul_by_xi(t4), t5)   # x5^2 xi + x1^2
+        z0 = e2.add(e2.double(e2.sub(t0, x0)), t0)
+        z1 = e2.add(e2.double(e2.sub(t2, x1)), t2)
+        z2 = e2.add(e2.double(e2.sub(t4, x2)), t4)
+        z3 = e2.add(e2.double(e2.add(t8, x3)), t8)
+        z4 = e2.add(e2.double(e2.add(t6, x4)), t6)
+        z5 = e2.add(e2.double(e2.add(t7, x5)), t7)
+        return self.from_coeffs6([z0, z1, z2, z3, z4, z5])
+
+    def exp_cyclotomic(self, x, e: int):
+        """x^e for cyclotomic x with static e >= 0 (reference Expt ladder).
+
+        Plain MSB square-multiply with cyclotomic squarings; the reference
+        uses an addchain for the same count of ~63 squarings.
+        """
+        e12 = self.e12
+        if e == 0:
+            return e12.broadcast_to(e12.ones(), e12.eshape(x))
+        nbits = e.bit_length()
+        bits = jnp.asarray([(e >> (nbits - 2 - i)) & 1
+                            for i in range(nbits - 1)], jnp.int32)
+
+        def body(res, bit):
+            res = self.cyclotomic_square(res)
+            return e12.where(bit == 1, e12.mul(res, x), res), None
+
+        res, _ = jax.lax.scan(body, x, bits)
+        return res
+
+    def inverse_cyclotomic(self, x):
+        """In the cyclotomic subgroup, x^-1 == conjugate(x)."""
+        return self.conjugate(x)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def get_tower(name: str) -> Tower12:
+    from gnark_crypto_tpu.specs import field as fs
+    if name == "bn254":
+        # ecc/bn254/internal/fptower: u^2=-1, v^3 = 9+u (e2.go, e6.go)
+        return Tower12("bn254", fs.BN254_FP, -1, (9, 1))
+    if name == "bls12_381":
+        # bls12-381 tower: u^2=-1, v^3 = 1+u
+        return Tower12("bls12_381", fs.BLS12_381_FP, -1, (1, 1))
+    if name == "bls12_377":
+        # bls12-377 tower: u^2=-5, v^3 = u
+        return Tower12("bls12_377", fs.BLS12_377_FP, -5, (0, 1))
+    raise KeyError(name)

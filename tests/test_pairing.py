@@ -1,0 +1,89 @@
+"""Pairing tests: bilinearity, non-degeneracy, G2 group law
+(reference: ecc/bn254/pairing_test.go properties)."""
+
+import numpy as np
+import pytest
+
+from gnark_crypto_tpu.curve.g2 import g2_curve
+from gnark_crypto_tpu.curve.jacobian import Affine, curve_ops
+from gnark_crypto_tpu.pairing import pairing12
+from gnark_crypto_tpu.specs import curve as cs
+
+CURVES = ["bn254", "bls12_381", "bls12_377"]
+
+
+def g1_curve(name):
+    return curve_ops(cs.get_curve(f"{name}_g1"))
+
+
+def scaled_gen(curve, k):
+    """[k]G as a batch-of-1 affine point."""
+    g = curve.generator_affine()
+    g = Affine(curve.fp.broadcast_to(g.x, (1,)), curve.fp.broadcast_to(g.y, (1,)))
+    kk = curve.fr.from_int([k], mont=False)
+    return curve.to_affine(curve.scalar_mul(curve.from_affine(g), kk))
+
+
+@pytest.mark.parametrize("name", CURVES)
+def test_g2_group_law(name):
+    g2 = g2_curve(name)
+    e2 = g2.fp
+    g = g2.generator_affine()
+    assert bool(np.asarray(g2.on_curve_affine(g))), "G2 generator on twist"
+    # [r]G2 == infinity
+    gb = Affine(e2.broadcast_to(g.x, (1,)), e2.broadcast_to(g.y, (1,)))
+    r = g2.spec.fr.modulus
+    k = g2.fr.from_int([r], mont=False)
+    res = g2.scalar_mul(g2.from_affine(gb), k, nbits=r.bit_length() + 1)
+    assert bool(np.asarray(g2.is_inf_jac(res))[0])
+
+
+@pytest.mark.parametrize("name", CURVES)
+def test_pairing_bilinear(name):
+    g1 = g1_curve(name)
+    g2 = g2_curve(name)
+    ctx = pairing12.get_ctx(name)
+    e12 = ctx.tower.e12
+
+    a, b = 13, 29
+    P = scaled_gen(g1, 1)
+    Q = scaled_gen(g2, 1)
+    Pa = scaled_gen(g1, a)
+    Qb = scaled_gen(g2, b)
+
+    base = pairing12.pair(name, P, Q.x, Q.y)
+    lhs = pairing12.pair(name, Pa, Qb.x, Qb.y)
+    rhs = e12.exp_const(base, a * b)
+    assert np.array_equal(np.asarray(lhs), np.asarray(rhs)), "bilinearity"
+
+    # non-degeneracy
+    one = e12.ones()
+    assert not bool(np.asarray(e12.equal(base, one)))
+    # e(P,Q)^r == 1
+    r = g1.spec.fr.modulus
+    assert bool(np.asarray(e12.equal(e12.exp_const(base, r), one)))
+
+
+def test_pairing_check_and_infinity():
+    name = "bn254"
+    g1 = g1_curve(name)
+    g2 = g2_curve(name)
+    P = scaled_gen(g1, 5)
+    Pneg = g1.neg_affine(P)
+    Q = scaled_gen(g2, 7)
+    import jax.numpy as jnp
+
+    # e(P,Q) * e(-P,Q) == 1
+    PX = jnp.concatenate([P.x, Pneg.x])
+    PY = jnp.concatenate([P.y, Pneg.y])
+    QX = jnp.concatenate([Q.x, Q.x])
+    QY = jnp.concatenate([Q.y, Q.y])
+    assert bool(np.asarray(
+        pairing12.pairing_check(name, Affine(PX, PY), QX, QY)))
+
+    # infinity pairs contribute 1 (reference filters them, pairing.go:118)
+    ctx = pairing12.get_ctx(name)
+    e12 = ctx.tower.e12
+    inf = g1.inf_affine((1,))
+    lhs = pairing12.pair(name, inf, Q.x, Q.y)
+    assert bool(np.asarray(e12.equal(lhs, e12.ones())))
