@@ -76,10 +76,12 @@ class ExtEngine:
         return self.build([one] + [zero] * (self.degree - 1))
 
     def from_int(self, v, mont: bool = True):
-        """int -> embed in degree 0; tuple/list -> coefficients (ints or
-        nested tuples for deeper towers)."""
+        """int -> embed in degree 0; tuple -> coefficients (ints or nested
+        tuples for deeper towers); list -> batch of elements."""
         if isinstance(v, (int,)):
             v = (v,) + (0,) * (self.degree - 1)
+        if isinstance(v, list):
+            return jnp.stack([self.from_int(e, mont=mont) for e in v], axis=0)
         assert len(v) == self.degree, (len(v), self.degree)
         return self.build([self.base.from_int(c, mont=mont) for c in v])
 
@@ -233,6 +235,36 @@ class QuadExtEngine(ExtEngine):
 
     def conjugate(self, x):
         return self.build([self.coeff(x, 0), self.base.neg(self.coeff(x, 1))])
+
+    def sqrt(self, a):
+        """Square root in Fp2 over a prime base (complex method; reference
+        e2.go Sqrt). Returns (root, has_root); all branches masked so one
+        schedule serves the batch. Requires integer nr (quadratic ext of fp).
+        """
+        assert isinstance(self.nr, int), "sqrt only on quadratic ext of fp"
+        f = self.base
+        sh = f.eshape(self.coeff(a, 0))
+        a0, a1 = self.coeff(a, 0), self.coeff(a, 1)
+        norm = f.sub(f.square(a0), self.mul_by_nr(f.square(a1)))
+        lam, _ = f.sqrt(norm)
+        delta = f.halve(f.add(a0, lam))
+        one = f.broadcast_to(f.ones(), sh)
+        is_sq = f.equal(f.legendre(delta), one) | f.is_zero(delta)
+        delta = f.select(is_sq, delta, f.halve(f.sub(a0, lam)))
+        x0, _ = f.sqrt(delta)
+        x1 = f.mul(a1, f.inverse(f.double(x0)))
+        cand = self.build([x0, x1])
+        # a1 == 0: either sqrt(a0) directly or sqrt(a0/nr)*u
+        p = f.spec.modulus
+        inv_nr = f.broadcast_to(f.from_int(pow(self.nr % p, -1, p)), sh)
+        s0, s0ok = f.sqrt(a0)
+        s1, _ = f.sqrt(f.mul(a0, inv_nr))
+        zero = f.zeros(sh)
+        cand_a1z = self.where(
+            s0ok, self.build([s0, zero]), self.build([zero, s1]))
+        cand = self.where(f.is_zero(a1), cand_a1z, cand)
+        ok = self.equal(self.square(cand), a)
+        return self.where(ok, cand, jnp.zeros_like(cand)), ok
 
 
 class CubicExtEngine(ExtEngine):

@@ -21,8 +21,6 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
-# Persistent compile cache: scan/fori-heavy bigint graphs compile in ~0.5-2s
-# each on CPU; cache makes repeated test runs cheap.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+# NOTE: do NOT enable the persistent compilation cache here — in this
+# environment cached CPU AOT artifacts reload with mismatched target features
+# and SIGILL the test process.

@@ -1,0 +1,109 @@
+"""Serialization round-trip + flag-bit parity tests (marshal.go semantics)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from gnark_crypto_tpu.curve.g2 import g2_curve
+from gnark_crypto_tpu.curve.jacobian import Affine, curve_ops
+from gnark_crypto_tpu.io import marshal
+from gnark_crypto_tpu.specs import curve as cs
+from tests.test_curve_g1 import pts_to_device, rand_points
+
+
+def test_g1_roundtrip_and_flags():
+    curve = curve_ops(cs.get_curve("bn254_g1"))
+    codec = marshal.PointCodec(curve)
+    pts = rand_points(curve, 5, seed=21) + [None]
+    P = pts_to_device(curve, pts)
+
+    comp = codec.to_bytes(P)
+    raw = codec.to_bytes(P, raw=True)
+    assert all(len(b) == 32 for b in comp)
+    assert all(len(b) == 64 for b in raw)
+    # infinity encodings (marshal.go: 01 flags / zeroed uncompressed)
+    assert comp[-1][0] == marshal.M_COMPRESSED_INFINITY
+    assert comp[-1][1:] == b"\x00" * 31
+    assert raw[-1] == bytes([marshal.M_UNCOMPRESSED]) + b"\x00" * 63
+    # flag bits reflect lexicographic rule
+    q = curve.spec.fp.modulus
+    for b, pt in zip(comp[:-1], pts[:-1]):
+        expect = (marshal.M_COMPRESSED_LARGEST if pt[1] > (q - 1) // 2
+                  else marshal.M_COMPRESSED_SMALLEST)
+        assert b[0] & marshal.M_MASK == expect
+        assert int.from_bytes(bytes([b[0] & ~marshal.M_MASK]) + b[1:], "big") \
+            == pt[0]
+
+    dec_c = codec.from_bytes(comp, subgroup_check=False)
+    dec_r = codec.from_bytes(raw, subgroup_check=False)
+    for dec in (dec_c, dec_r):
+        xs = curve.fp.to_int(dec.x)
+        ys = curve.fp.to_int(dec.y)
+        for (x, y), pt in zip(zip(xs, ys), pts):
+            if pt is None:
+                assert x == 0 and y == 0
+            else:
+                assert (x, y) == pt
+
+
+def test_g1_subgroup_and_curve_rejection():
+    curve = curve_ops(cs.get_curve("bn254_g1"))
+    codec = marshal.PointCodec(curve)
+    # x with no point on curve -> sqrt failure
+    q = curve.spec.fp.modulus
+    x = 5  # x^3+3 = 128; check if it's a QR; if it is, pick another
+    while pow(x**3 + 3, (q - 1) // 2, q) == 1:
+        x += 1
+    buf = bytearray(x.to_bytes(32, "big"))
+    buf[0] |= marshal.M_COMPRESSED_SMALLEST
+    with pytest.raises(marshal.MarshalError):
+        codec.from_bytes([bytes(buf)], subgroup_check=False)
+    # non-canonical (>= q) rejected
+    buf2 = bytearray(q.to_bytes(32, "big"))
+    buf2[0] |= marshal.M_COMPRESSED_SMALLEST
+    with pytest.raises(marshal.MarshalError):
+        codec.from_bytes([bytes(buf2)], subgroup_check=False)
+
+
+def test_g2_roundtrip():
+    g2 = g2_curve("bn254")
+    codec = marshal.PointCodec(g2)
+    e2 = g2.fp
+    g = g2.generator_affine()
+    # batch: G2 gen, 2*gen, infinity
+    base = g2.from_affine(Affine(e2.broadcast_to(g.x, (2,)),
+                                 e2.broadcast_to(g.y, (2,))))
+    k = g2.fr.from_int([1, 2], mont=False)
+    pts = g2.to_affine(g2.scalar_mul(base, k, nbits=3))
+    import jax.numpy as jnp
+    pts = Affine(jnp.concatenate([pts.x, e2.zeros((1,))]),
+                 jnp.concatenate([pts.y, e2.zeros((1,))]))
+
+    comp = codec.to_bytes(pts)
+    raw = codec.to_bytes(pts, raw=True)
+    assert all(len(b) == 64 for b in comp)
+    assert all(len(b) == 128 for b in raw)
+    dec_c = codec.from_bytes(comp, subgroup_check=False)
+    dec_r = codec.from_bytes(raw, subgroup_check=False)
+    for dec in (dec_c, dec_r):
+        assert np.array_equal(np.asarray(dec.x), np.asarray(pts.x))
+        assert np.array_equal(np.asarray(dec.y), np.asarray(pts.y))
+
+
+def test_e2_sqrt():
+    from gnark_crypto_tpu.towers.tower12 import get_tower
+
+    tw = get_tower("bn254")
+    e2 = tw.e2
+    rng = random.Random(3)
+    p = tw.p
+    vals = [(rng.randrange(p), rng.randrange(p)) for _ in range(4)]
+    vals.append((7, 0))
+    vals.append((0, 0))
+    import jax.numpy as jnp
+    x = jnp.stack([e2.from_int(v) for v in vals])
+    sq = e2.square(x)
+    r, ok = e2.sqrt(sq)
+    assert bool(np.all(np.asarray(ok)))
+    assert np.array_equal(np.asarray(e2.square(r)), np.asarray(sq))
