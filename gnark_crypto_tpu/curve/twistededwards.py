@@ -1,0 +1,251 @@
+"""Twisted Edwards companion curves (a*x^2 + y^2 = 1 + d*x^2*y^2).
+
+Counterpart of ``ecc/<curve>/twistededwards``: the companion curve lives over
+the parent curve's *scalar* field Fr (point.go:18-28). Batched extended
+(X:Y:T:Z) coordinates with the unified Hisil et al. formulas — complete for
+the gnark curves (a = -1, d non-square), so no masked special cases needed
+beyond identity handling (identity = (0, 1), which the formulas cover).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gnark_crypto_tpu.field.api import FieldEngine, for_spec
+from gnark_crypto_tpu.specs import field as fs
+from gnark_crypto_tpu.specs.field import FieldSpec
+
+
+@dataclasses.dataclass(frozen=True)
+class TwistedEdwardsSpec:
+    name: str
+    base: FieldSpec      # coordinate field (= parent curve's Fr)
+    a: int
+    d: int
+    cofactor: int
+    order: int           # order of the prime subgroup
+    gx: int
+    gy: int
+
+
+_REGISTRY: dict[str, TwistedEdwardsSpec] = {}
+
+
+def register(s: TwistedEdwardsSpec) -> TwistedEdwardsSpec:
+    _REGISTRY[s.name] = s
+    return s
+
+
+def get_ted(name: str) -> TwistedEdwardsSpec:
+    return _REGISTRY[name]
+
+
+# constants from internal/generator/config/<curve>.go TwistedEdwardsCurve
+BN254_TED = register(TwistedEdwardsSpec(
+    name="bn254",
+    base=fs.BN254_FR,
+    a=-1,
+    d=12181644023421730124874158521699555681764249180949974110617291017600649128846,
+    cofactor=8,
+    order=2736030358979909402780800718157159386076813972158567259200215660948447373041,
+    gx=9671717474070082183213120605117400219616337014328744928644933853176787189663,
+    gy=16950150798460657717958625567821834550301663161624707787222815936182638968203,
+))
+
+
+class ExtPoint(NamedTuple):
+    x: jax.Array
+    y: jax.Array
+    t: jax.Array
+    z: jax.Array
+
+
+class AffinePoint(NamedTuple):
+    x: jax.Array
+    y: jax.Array
+
+
+class TedCurve:
+    def __init__(self, spec: TwistedEdwardsSpec):
+        self.spec = spec
+        self.f: FieldEngine = for_spec(spec.base)
+        p = spec.base.modulus
+        self._a = spec.a % p
+        self._d = spec.d % p
+
+    def _const(self, v: int, shape):
+        return self.f.broadcast_to(self.f.from_int(v), shape)
+
+    # -- constructors / conversions -----------------------------------------
+    def identity_ext(self, shape=()) -> ExtPoint:
+        f = self.f
+        zero = f.zeros(shape)
+        one = f.broadcast_to(f.ones(), shape)
+        return ExtPoint(zero, one, zero, one)
+
+    def generator_affine(self, shape=()) -> AffinePoint:
+        f = self.f
+        return AffinePoint(
+            f.broadcast_to(f.from_int(self.spec.gx), shape),
+            f.broadcast_to(f.from_int(self.spec.gy), shape))
+
+    def from_affine(self, p: AffinePoint) -> ExtPoint:
+        f = self.f
+        sh = f.eshape(p.x)
+        return ExtPoint(p.x, p.y, f.mul(p.x, p.y),
+                        f.broadcast_to(f.ones(), sh))
+
+    def to_affine(self, p: ExtPoint) -> AffinePoint:
+        f = self.f
+        sh = f.eshape(p.z)
+        if len(sh) == 0:
+            zinv = f.inverse(p.z)
+        else:
+            zinv = f.batch_inverse(
+                p.z.reshape((-1, *p.z.shape[len(sh):]))).reshape(p.z.shape)
+        return AffinePoint(f.mul(p.x, zinv), f.mul(p.y, zinv))
+
+    def on_curve_affine(self, p: AffinePoint):
+        """a*x^2 + y^2 == 1 + d*x^2*y^2 (point.go IsOnCurve)."""
+        f = self.f
+        sh = f.eshape(p.x)
+        x2, y2 = f.square(p.x), f.square(p.y)
+        lhs = f.add(f.mul(self._const(self._a, sh), x2), y2)
+        rhs = f.add(f.broadcast_to(f.ones(), sh),
+                    f.mul(self._const(self._d, sh), f.mul(x2, y2)))
+        return f.equal(lhs, rhs)
+
+    # -- group law (add-2008-hwcd, unified/complete for a=-1, d non-square) --
+    def add(self, p: ExtPoint, q: ExtPoint) -> ExtPoint:
+        f = self.f
+        sh = f.eshape(p.x)
+        A = f.mul(p.x, q.x)
+        B = f.mul(p.y, q.y)
+        C = f.mul(f.mul(self._const(self._d, sh), p.t), q.t)
+        D = f.mul(p.z, q.z)
+        E = f.sub(f.sub(f.mul(f.add(p.x, p.y), f.add(q.x, q.y)), A), B)
+        F = f.sub(D, C)
+        G = f.add(D, C)
+        H = f.sub(B, f.mul(self._const(self._a, sh), A))
+        return ExtPoint(f.mul(E, F), f.mul(G, H), f.mul(E, H), f.mul(F, G))
+
+    def double(self, p: ExtPoint) -> ExtPoint:
+        f = self.f
+        sh = f.eshape(p.x)
+        A = f.square(p.x)
+        B = f.square(p.y)
+        C = f.double(f.square(p.z))
+        D = f.mul(self._const(self._a, sh), A)
+        E = f.sub(f.sub(f.square(f.add(p.x, p.y)), A), B)
+        G = f.add(D, B)
+        F = f.sub(G, C)
+        H = f.sub(D, B)
+        return ExtPoint(f.mul(E, F), f.mul(G, H), f.mul(E, H), f.mul(F, G))
+
+    def neg(self, p: ExtPoint) -> ExtPoint:
+        return ExtPoint(self.f.neg(p.x), p.y, self.f.neg(p.t), p.z)
+
+    def scalar_mul(self, p: ExtPoint, k_int_bits) -> ExtPoint:
+        """Double-and-add over an MSB-first (nbits, ...) bit array."""
+        f = self.f
+        acc0 = self.identity_ext(f.eshape(p.x))
+
+        def body(acc, bit):
+            acc = self.double(acc)
+            added = self.add(acc, p)
+            sel = lambda a, b: f.where(bit == 1, a, b)
+            return ExtPoint(*(sel(a, b) for a, b in zip(added, acc))), None
+
+        acc, _ = lax.scan(body, acc0, k_int_bits)
+        return acc
+
+    def scalar_mul_int(self, p: ExtPoint, k: int | list[int],
+                      nbits: int | None = None) -> ExtPoint:
+        """Host-int scalar(s); bits baked as a device array."""
+        ks = [k] if isinstance(k, int) else list(k)
+        nbits = nbits or max(self.spec.base.modulus.bit_length() + 1,
+                             max(ks).bit_length())
+        bits = jnp.asarray(
+            [[(kv >> (nbits - 1 - i)) & 1 for kv in ks]
+             for i in range(nbits)], jnp.int32)
+        if isinstance(k, int):
+            bits = bits[:, 0]
+        return self.scalar_mul(p, bits)
+
+    # -- serialization (point.go:52 Bytes / :96 SetBytes, RFC8032-style) ----
+    def point_to_bytes(self, p: AffinePoint) -> list[bytes]:
+        f = self.f
+        nb = self.spec.base.n_bytes
+        q = self.spec.base.modulus
+        xs = f.to_int(p.x)
+        ys = f.to_int(p.y)
+        if not isinstance(xs, list):
+            xs, ys = [xs], [ys]
+        out = []
+        for x, y in zip(xs, ys):
+            yb = bytearray(y.to_bytes(nb, "big"))
+            if x > (q - 1) // 2:  # LexicographicallyLargest
+                yb[0] |= 0x80
+            out.append(bytes(reversed(yb)))  # little-endian on the wire
+        return out
+
+    def point_from_bytes(self, bufs: list[bytes]) -> AffinePoint:
+        f = self.f
+        q = self.spec.base.modulus
+        nb = self.spec.base.n_bytes
+        xs, ys = [], []
+        for buf in bufs:
+            be = bytearray(reversed(buf[:nb]))
+            neg = bool(be[0] & 0x80)
+            be[0] &= 0x7F
+            y = int.from_bytes(be, "big")
+            if y >= q:
+                raise ValueError("non-canonical y")
+            # x^2 = (1 - y^2) / (a - d*y^2)
+            y2 = y * y % q
+            num = (1 - y2) % q
+            den = (self._a - self._d * y2) % q
+            x2 = num * pow(den, -1, q) % q
+            x = pow(x2, (q + 1) // 4, q) if q % 4 == 3 else _tonelli_int(x2, q)
+            if x * x % q != x2:
+                raise ValueError("invalid compressed point")
+            if (x > (q - 1) // 2) != neg:
+                x = (-x) % q
+            xs.append(x)
+            ys.append(y)
+        return AffinePoint(f.from_int(xs), f.from_int(ys))
+
+
+def _tonelli_int(n: int, p: int) -> int:
+    """Host Tonelli-Shanks for decompression on q = 1 mod 4 fields."""
+    if n == 0:
+        return 0
+    if pow(n, (p - 1) // 2, p) != 1:
+        return 0
+    s, t = 0, p - 1
+    while t % 2 == 0:
+        s, t = s + 1, t // 2
+    z = 2
+    while pow(z, (p - 1) // 2, p) != p - 1:
+        z += 1
+    m, c, u, r = s, pow(z, t, p), pow(n, t, p), pow(n, (t + 1) // 2, p)
+    while u != 1:
+        i, v = 0, u
+        while v != 1:
+            v = v * v % p
+            i += 1
+        b = pow(c, 1 << (m - i - 1), p)
+        m, c = i, b * b % p
+        u, r = u * c % p, r * b % p
+    return r
+
+
+@functools.lru_cache(maxsize=None)
+def ted_curve(name: str) -> TedCurve:
+    return TedCurve(get_ted(name))

@@ -1,0 +1,154 @@
+"""Ring-SIS hash over Z_q[X]/(X^d + 1) — bit-exact with the reference.
+
+Counterpart of ``field/<f>/sis/sis.go``: key polynomials A_i derived from
+blake2b("SIS" || seed || i || j); inputs limb-decomposed little-endian into
+2^logTwoBound digits; negacyclic multiply-accumulate done in evaluation form
+on the coset sqrt(g)*<g> (the reference's WithShift domain, sis.go:93-99);
+one inverse coset FFT at the end. The whole limb matrix is transformed with
+one batched coset-NTT on device (reference: per-poly FFTs + the fused
+AVX-512 sis512_16 kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnark_crypto_tpu.field.api import for_spec
+from gnark_crypto_tpu.ntt import fft as fftm
+from gnark_crypto_tpu.ntt.domain import Domain
+from gnark_crypto_tpu.specs import field as fs
+from gnark_crypto_tpu.specs.field import FieldSpec
+
+
+def _derive_element(seed: int, i: int, j: int, q: int) -> int:
+    buf = b"SIS" + seed.to_bytes(8, "big") + i.to_bytes(8, "big") \
+        + j.to_bytes(8, "big")
+    return int.from_bytes(
+        hashlib.blake2b(buf, digest_size=32).digest(), "big") % q
+
+
+class RSis:
+    def __init__(self, spec: FieldSpec, seed: int, log_two_degree: int,
+                 log_two_bound: int, max_nb_elements: int):
+        if log_two_bound % 8 != 0:
+            raise ValueError("logTwoBound must be a multiple of 8")
+        if (spec.n_bytes * 8) % log_two_bound and spec.n_bytes % (
+                log_two_bound // 8):
+            raise ValueError("limb size must divide the field byte size")
+        self.spec = spec
+        self.eng = for_spec(spec)
+        self.degree = 1 << log_two_degree
+        self.log_two_bound = log_two_bound
+        self.limbs_per_elem = spec.n_bytes // (log_two_bound // 8)
+        n = self.limbs_per_elem * max_nb_elements
+        self.n_polys = -(-n // self.degree)
+        self.max_nb_elements = max_nb_elements
+        q = spec.modulus
+        # coset shift = generator of order 2d (sqrt of the domain generator)
+        shift = pow(spec.two_adic_root,
+                    1 << (spec.two_adicity - (log_two_degree + 1)), q)
+        self.domain = Domain(spec, self.degree, shift=shift)
+        # key polynomials + their coset-evaluation forms, one batched FFT
+        self.set_key([[_derive_element(seed, i, j, q)
+                       for j in range(self.degree)]
+                      for i in range(self.n_polys)])
+
+    def set_key(self, a_rows: list[list[int]]):
+        """Install explicit key polynomials (rows of canonical ints) and
+        precompute their coset-evaluation form (reference Ag)."""
+        eng = self.eng
+        flat = [int(v) for row in a_rows for v in row]
+        a_dev = eng.reshape(eng.from_int(flat), (self.n_polys, self.degree))
+        self.ag = jax.vmap(
+            lambda p: fftm.fft(self.domain, p, fftm.DIF, coset=True))(a_dev)
+
+    def set_key_sage(self, seed: int):
+        """The reference test-vector key (sis_test.go:147
+        makeKeyDeterministic): A[i][j] = (seed+i)^(2^(j+1)) mod q."""
+        q = self.spec.modulus
+        rows = []
+        for i in range(self.n_polys):
+            s = (seed + i) % q
+            row = []
+            for _ in range(self.degree):
+                s = s * s % q
+                row.append(s)
+            rows.append(row)
+        self.set_key(rows)
+
+    def _decompose(self, v):
+        """(N,) plain field values -> (n_polys, degree) limb coefficients.
+
+        Little-endian limb order within each element (LimbIterator,
+        sis.go:319-342); zero-padded to the full poly matrix.
+        """
+        eng = self.eng
+        n = v.shape[0]
+        b = self.log_two_bound
+        if eng.elem_dims:
+            # limb engine: element limbs are little-endian base 2^lb
+            lb = self.spec.limb_bits
+            vals = []
+            for k in range(self.limbs_per_elem):
+                lo = k * b
+                acc = None
+                for i in range(self.spec.n_limbs):
+                    ls = i * lb
+                    if ls + lb <= lo or ls >= lo + b:
+                        continue
+                    piece = v[..., i]
+                    sh = ls - lo
+                    part = piece << sh if sh >= 0 else piece >> (-sh)
+                    acc = part if acc is None else acc | part
+                vals.append((acc if acc is not None else jnp.zeros(n, jnp.int32))
+                            & ((1 << b) - 1))
+            limbs = jnp.stack(vals, axis=1)  # (N, limbs_per_elem)
+        else:
+            shifts = jnp.asarray(
+                [k * b for k in range(self.limbs_per_elem)], jnp.uint32)
+            limbs = (v[:, None] >> shifts[None]) & jnp.uint32((1 << b) - 1)
+        flat = limbs.reshape(-1)
+        total = self.n_polys * self.degree
+        flat = jnp.pad(flat, (0, total - flat.shape[0]))
+        return flat.reshape(self.n_polys, self.degree).astype(
+            jnp.uint32 if not eng.elem_dims else jnp.int32)
+
+    def hash(self, v):
+        """(N,) plain field elements -> (degree,) plain hash coefficients.
+
+        res = InvFFT_coset( sum_i FFT_coset(m_i) * Ag_i )  (sis.go:142-196).
+        """
+        eng = self.eng
+        # The reference writes raw limbs straight into the Montgomery slot
+        # (InnerHash: k[j][0] = l, sis.go:225), i.e. the polynomial
+        # coefficient VALUE is l * R^-1 — mirrored by the sage generator
+        # (sis.sage: GFR(e) * RR^-1). So limbs are used as Montgomery form
+        # directly, with no to_mont conversion.
+        if eng.elem_dims:
+            limbs = self._decompose(v)
+            memb = jnp.zeros((*limbs.shape, self.spec.n_limbs), jnp.int32)
+            lb = self.spec.limb_bits
+            for i in range(-(-self.log_two_bound // lb)):
+                memb = memb.at[..., i].set(
+                    (limbs >> (i * lb)) & ((1 << lb) - 1))
+            m = memb
+        else:
+            m = self._decompose(v)
+        kf = jax.vmap(
+            lambda p: fftm.fft(self.domain, p, fftm.DIF, coset=True))(m)
+        acc = eng.mul(kf, self.ag)
+        res = eng.sum_reduce(acc)
+        out = fftm.fft_inverse(self.domain, res, fftm.DIT, coset=True)
+        return eng.from_mont(out)
+
+
+@functools.lru_cache(maxsize=None)
+def rsis(field_name: str, seed: int, log_two_degree: int, log_two_bound: int,
+         max_nb_elements: int) -> RSis:
+    return RSis(fs.get_field(field_name), seed, log_two_degree,
+                log_two_bound, max_nb_elements)

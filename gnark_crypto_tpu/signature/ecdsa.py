@@ -1,0 +1,137 @@
+"""ECDSA over any registered curve (secp256k1/r1, stark, pairing G1s).
+
+Counterpart of ``ecc/<curve>/ecdsa/ecdsa.go``: same math (sign/verify,
+HashToInt truncation ecdsa.go:117, public-key recovery), interoperable
+signatures. Nonces are derived with HMAC-SHA256 (RFC 6979 flavor) instead of
+the reference's AES-CTR csprng (ecdsa.go:167) — signatures differ bitwise
+from gnark's (which are randomized anyway) but verify identically in both
+directions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import hmac
+
+import numpy as np
+
+from gnark_crypto_tpu.curve.jacobian import Affine, Jac, curve_ops
+from gnark_crypto_tpu.specs.curve import CurveSpec, get_curve
+
+
+@dataclasses.dataclass
+class PublicKey:
+    q: Affine  # batch-of-1
+
+
+@dataclasses.dataclass
+class PrivateKey:
+    public_key: PublicKey
+    d: int
+
+
+@dataclasses.dataclass
+class Signature:
+    r: int
+    s: int
+
+
+def hash_to_int(msg_hash: bytes, order: int) -> int:
+    """Leftmost-bits truncation (ecdsa.go HashToInt)."""
+    n_bits = order.bit_length()
+    n_bytes = (n_bits + 7) // 8
+    h = msg_hash[:n_bytes]
+    v = int.from_bytes(h, "big")
+    excess = len(h) * 8 - n_bits
+    if excess > 0:
+        v >>= excess
+    return v
+
+
+class ECDSA:
+    def __init__(self, curve_name: str):
+        self.spec: CurveSpec = get_curve(curve_name)
+        self.curve = curve_ops(self.spec)
+        self.order = self.spec.fr.modulus
+
+    def _base_mul(self, k: int) -> Affine:
+        c = self.curve
+        g = c.generator_affine()
+        base = c.from_affine(Affine(
+            c.fp.broadcast_to(g.x, (1,)), c.fp.broadcast_to(g.y, (1,))))
+        return c.to_affine(c.scalar_mul(
+            base, c.fr.from_int([k % self.order], mont=False)))
+
+    def generate_key(self, seed: bytes) -> PrivateKey:
+        d = int.from_bytes(
+            hashlib.sha512(b"ecdsa-key" + seed).digest(), "big") % self.order
+        if d == 0:
+            d = 1
+        return PrivateKey(PublicKey(self._base_mul(d)), d)
+
+    def _nonce(self, priv_d: int, h: int) -> int:
+        nb = (self.order.bit_length() + 7) // 8
+        data = priv_d.to_bytes(nb, "big") + h.to_bytes(nb, "big")
+        k, v = b"\x00" * 32, b"\x01" * 32
+        k = hmac.new(k, v + b"\x00" + data, hashlib.sha256).digest()
+        v = hmac.new(k, v, hashlib.sha256).digest()
+        k = hmac.new(k, v + b"\x01" + data, hashlib.sha256).digest()
+        v = hmac.new(k, v, hashlib.sha256).digest()
+        while True:
+            t = b""
+            while len(t) < nb:
+                v = hmac.new(k, v, hashlib.sha256).digest()
+                t += v
+            cand = int.from_bytes(t[:nb], "big") % self.order
+            if cand != 0:
+                return cand
+
+    def sign(self, msg: bytes, priv: PrivateKey,
+             hasher=hashlib.sha256) -> Signature:
+        h = hash_to_int(hasher(msg).digest(), self.order)
+        n = self.order
+        while True:
+            k = self._nonce(priv.d, h)
+            rp = self._base_mul(k)
+            r = self.curve.fp.to_int(rp.x)[0] % n
+            if r == 0:
+                h += 1  # perturb (negligible probability path)
+                continue
+            s = pow(k, -1, n) * (h + r * priv.d) % n
+            if s != 0:
+                return Signature(r, s)
+
+    def verify(self, msg: bytes, sig: Signature, pub: PublicKey,
+               hasher=hashlib.sha256) -> bool:
+        n = self.order
+        if not (0 < sig.r < n and 0 < sig.s < n):
+            return False
+        if not bool(np.asarray(self.curve.on_curve_affine(pub.q))[0]):
+            return False
+        h = hash_to_int(hasher(msg).digest(), n)
+        w = pow(sig.s, -1, n)
+        u1 = h * w % n
+        u2 = sig.r * w % n
+        c = self.curve
+        p1 = c.scalar_mul(
+            c.from_affine(Affine(
+                c.fp.broadcast_to(c.generator_affine().x, (1,)),
+                c.fp.broadcast_to(c.generator_affine().y, (1,)))),
+            c.fr.from_int([u1], mont=False))
+        p2 = c.scalar_mul(c.from_affine(pub.q),
+                          c.fr.from_int([u2], mont=False))
+        rp = c.to_affine(c.add(p1, p2))
+        if bool(np.asarray(c.is_inf_jac(c.add(p1, p2)))[0]):
+            return False
+        return c.fp.to_int(rp.x)[0] % n == sig.r
+
+    # -- serialization (ecdsa/marshal.go: r||s big-endian fr pairs) ---------
+    def signature_to_bytes(self, sig: Signature) -> bytes:
+        nb = self.spec.fr.n_bytes
+        return sig.r.to_bytes(nb, "big") + sig.s.to_bytes(nb, "big")
+
+    def signature_from_bytes(self, buf: bytes) -> Signature:
+        nb = self.spec.fr.n_bytes
+        return Signature(int.from_bytes(buf[:nb], "big"),
+                         int.from_bytes(buf[nb : 2 * nb], "big"))

@@ -121,3 +121,38 @@ GRUMPKIN_G1 = register(CurveSpec(
     glv_lambda=2203960485148121921418603742825762020974279258880205651966,
     glv_third_root=4407920970296243842393367215006156084916469457145843978461,
 ))
+
+
+SECP256K1_G1 = register(CurveSpec(
+    # ecc/secp256k1/secp256k1.go:62-76
+    name="secp256k1_g1",
+    fp=fs.SECP256K1_FP,
+    fr=fs.SECP256K1_FR,
+    a=0, b=7,
+    gx=55066263022277343669578718895168534326250603453777594175500187360389116729240,
+    gy=32670510020758816978083085130507043184471273380659243275938904335757337482424,
+    glv_lambda=37718080363155996902926221483475020450927657555482586988616620542887997980018,
+    glv_third_root=55594575648329892869085402983802832744385952214688224221778511981742606582254,
+))
+
+SECP256R1_G1 = register(CurveSpec(
+    # ecc/secp256r1/secp256r1.go:43-47
+    name="secp256r1_g1",
+    fp=fs.SECP256R1_FP,
+    fr=fs.SECP256R1_FR,
+    a=-3,
+    b=41058363725152142129326129780047268409114441015993725554835256314039467401291,
+    gx=48439561293906451759052585252797914202762949526041747995844080717082404635286,
+    gy=36134250956749795798585127919587881956611106672985015071877198253568414405109,
+))
+
+STARK_G1 = register(CurveSpec(
+    # ecc/stark-curve/stark_curve.go:41-45
+    name="stark_g1",
+    fp=fs.STARK_FP,
+    fr=fs.STARK_FR,
+    a=1,
+    b=3141592653589793238462643383279502884197169399375105820974944592307816406665,
+    gx=874739451078007766457464989774322083649278607533249481151382481072868806602,
+    gy=152666792071518830868575557812948353041420400780739481342941381225525861407,
+))

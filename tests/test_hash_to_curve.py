@@ -1,0 +1,56 @@
+"""Hash-to-curve RFC 9380 golden vectors (from the reference's
+hash_vectors_test.go — cross-library bit-exactness)."""
+
+import numpy as np
+
+from gnark_crypto_tpu.curve.jacobian import curve_ops
+from gnark_crypto_tpu.hashes import hash_to_curve as h2c
+from gnark_crypto_tpu.specs import curve as cs
+
+DST_NU = b"QUUX-V01-CS02-with-BN254G1_XMD:SHA-256_SVDW_NU_"
+DST_RO = b"QUUX-V01-CS02-with-BN254G1_XMD:SHA-256_SVDW_RO_"
+
+# vectors from /root/reference/ecc/bn254/hash_vectors_test.go
+ENCODE_CASES = [
+    (b"", 0xcb81538a98a2e3580076eed495256611813f6dae9e16d3d4f8de7af0e9833e1,
+     (0x1bb8810e2ceaf04786d4efd216fc2820ddd9363712efc736ada11049d8af5925,
+      0x1efbf8d54c60d865cce08437668ea30f5bf90d287dbd9b5af31da852915e8f11)),
+    (b"abc", 0xba35e127276e9000b33011860904ddee28f1d48ddd3577e2a797ef4a5e62319,
+     (0xda4a96147df1f35b0f820bd35c6fac3b80e8e320de7c536b1e054667b22c332,
+      0x189bd3fbffe4c8740d6543754d95c790e44cd2d162858e3b733d2b8387983bb7)),
+    (b"abcdef0123456789",
+     0x11852286660cd970e9d7f46f99c7cca2b75554245e91b9b19d537aa6147c28fc,
+     (0x2ff727cfaaadb3acab713fa22d91f5fddab3ed77948f3ef6233d7ea9b03f4da1,
+      0x304080768fd2f87a852155b727f97db84b191e41970506f0326ed4046d1141aa)),
+]
+
+HASH_CASES = [
+    (b"", (0xa976ab906170db1f9638d376514dbf8c42aef256a54bbd48521f20749e59e86,
+           0x2925ead66b9e68bfc309b014398640ab55f6619ab59bc1fab2210ad4c4d53d5)),
+    (b"abc", (0x23f717bee89b1003957139f193e6be7da1df5f1374b26a4643b0378b5baf53d1,
+              0x4142f826b71ee574452dbc47e05bc3e1a647478403a7ba38b7b93948f4e151d)),
+]
+
+
+def test_expand_and_hash_to_field_vectors():
+    curve = curve_ops(cs.get_curve("bn254_g1"))
+    for msg, u_expect, _ in ENCODE_CASES:
+        u = h2c.hash_to_field(curve.spec.fp, msg, DST_NU, 1)
+        assert u[0] == u_expect, msg
+
+
+def test_encode_to_g1_vectors():
+    curve = curve_ops(cs.get_curve("bn254_g1"))
+    for msg, _, (px, py) in ENCODE_CASES:
+        pt = h2c.encode_to_g1("bn254_g1", msg, DST_NU)
+        assert curve.fp.to_int(pt.x) == [px], msg
+        assert curve.fp.to_int(pt.y) == [py], msg
+
+
+def test_hash_to_g1_vectors():
+    curve = curve_ops(cs.get_curve("bn254_g1"))
+    for msg, (px, py) in HASH_CASES:
+        pt = h2c.hash_to_g1("bn254_g1", msg, DST_RO)
+        assert curve.fp.to_int(pt.x) == [px], msg
+        assert curve.fp.to_int(pt.y) == [py], msg
+        assert bool(np.asarray(curve.on_curve_affine(pt))[0])

@@ -1,0 +1,92 @@
+"""EdDSA (twisted Edwards) + ECDSA sign/verify tests."""
+
+import numpy as np
+import pytest
+
+from gnark_crypto_tpu.curve.twistededwards import ted_curve
+from gnark_crypto_tpu.signature.ecdsa import ECDSA
+from gnark_crypto_tpu.signature.eddsa import EdDSA
+
+
+def test_ted_curve_basics():
+    c = ted_curve("bn254")
+    g = c.generator_affine((1,))
+    assert bool(np.asarray(c.on_curve_affine(g))[0])
+    ge = c.from_affine(g)
+    # 2G via add == double
+    d1 = c.to_affine(c.add(ge, ge))
+    d2 = c.to_affine(c.double(ge))
+    assert np.array_equal(np.asarray(d1.x), np.asarray(d2.x))
+    # [order]G == identity (0,1)
+    res = c.to_affine(c.scalar_mul_int(ge, [c.spec.order]))
+    f = c.f
+    assert f.to_int(res.x) == [0] and f.to_int(res.y) == [1]
+    # serialization roundtrip
+    pts = c.to_affine(c.scalar_mul_int(ge, [5]))
+    bs = c.point_to_bytes(pts)
+    back = c.point_from_bytes(bs)
+    assert f.to_int(back.x) == f.to_int(pts.x)
+    assert f.to_int(back.y) == f.to_int(pts.y)
+
+
+def test_eddsa_sign_verify():
+    ed = EdDSA("bn254")
+    priv = ed.generate_key(b"\x01" * 32)
+    msg = (123).to_bytes(32, "big")
+    sig = ed.sign(priv, msg)
+    assert ed.verify(priv.public_key, sig, msg)
+    # wrong message fails
+    assert not ed.verify(priv.public_key, sig, (124).to_bytes(32, "big"))
+    # serialization roundtrip
+    buf = ed.signature_to_bytes(sig)
+    sig2 = ed.signature_from_bytes(buf)
+    assert ed.verify(priv.public_key, sig2, msg)
+    pk_buf = ed.public_key_to_bytes(priv.public_key)
+    pub2 = ed.public_key_from_bytes(pk_buf)
+    assert ed.verify(pub2, sig, msg)
+
+
+@pytest.mark.parametrize("curve", ["secp256k1_g1", "bn254_g1", "stark_g1",
+                                   "secp256r1_g1"])
+def test_ecdsa_sign_verify(curve):
+    e = ECDSA(curve)
+    priv = e.generate_key(b"seed")
+    msg = b"the quick brown fox"
+    sig = e.sign(msg, priv)
+    assert e.verify(msg, sig, priv.public_key)
+    assert not e.verify(msg + b"!", sig, priv.public_key)
+    bad = type(sig)(sig.r, (sig.s + 1) % e.order)
+    assert not e.verify(msg, bad, priv.public_key)
+    buf = e.signature_to_bytes(sig)
+    assert e.verify(msg, e.signature_from_bytes(buf), priv.public_key)
+
+
+def test_ecdsa_known_secp256k1_vector():
+    # cross-check with a fixed (k, d) pair computed by an independent
+    # Python-int implementation of secp256k1 math
+    e = ECDSA("secp256k1_g1")
+    n = e.order
+    d = 0x1234567890ABCDEF
+    h = 0xDEADBEEF
+    k = 0x1111111111111111
+    # independent affine math oracle
+    p = e.spec.fp.modulus
+    from tests.test_curve_g1 import oracle_mul
+
+    g = (e.spec.gx, e.spec.gy)
+    R = oracle_mul(g, k, p, 0)
+    r = R[0] % n
+    s = pow(k, -1, n) * (h + r * d) % n
+    # verify with our device verifier (bypassing hashing)
+    from gnark_crypto_tpu.signature.ecdsa import Signature
+
+    class _FakeHash:
+        def __init__(self, data):
+            pass
+
+        def digest(self):
+            return h.to_bytes(32, "big")
+
+    pub = type(e.generate_key(b"x").public_key)(
+        e._base_mul(d))
+    assert e.verify(b"ignored", Signature(r, s), pub, hasher=_FakeHash)
