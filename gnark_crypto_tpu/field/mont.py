@@ -40,6 +40,16 @@ from gnark_crypto_tpu.specs.field import FieldSpec, int_to_limbs, limbs_to_int
 I32 = jnp.int32
 
 
+def _unroll_default() -> bool:
+    """Unroll limb loops into straight-line code on TPU (Mosaic/XLA-TPU
+    compiles nested fori/scan bodies pathologically slowly and runs fused
+    straight-line elementwise code much faster); keep scans on CPU where
+    compile time dominates the test cycle."""
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 # ---------------------------------------------------------------------------
 # host-side conversions
 # ---------------------------------------------------------------------------
@@ -99,6 +109,14 @@ def _carry_scan(spec: FieldSpec, t, keep_top: bool = False):
     propagate correctly. Returns (normalized, carry_out).
     """
     b = spec.limb_bits
+    if _unroll_default():
+        c = None
+        out = []
+        for i in range(t.shape[-1]):
+            v = t[..., i] if c is None else t[..., i] + c
+            out.append(v & spec.mask)
+            c = v >> b
+        return jnp.stack(out, axis=-1), c
     tl = jnp.moveaxis(t, -1, 0)  # (L, ...)
 
     def body(c, limb):
@@ -208,18 +226,20 @@ def _mul_unrolled(spec: FieldSpec, x, y):
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
-def mul(spec: FieldSpec, x, y, unroll: bool = False):
+def mul(spec: FieldSpec, x, y, unroll: bool | None = None):
     """Montgomery product x*y*R^-1 mod q, lazy-carry operand-scan CIOS.
 
     Per limb i: t += x_i*y; m = t_0*qinv mod 2^b; t += m*q; t >>= b.
     Limb accumulations stay < 2L*(2^b-1)^2 < 2^31 (enforced by the spec
     registry). Reference: ``element_amd64.go:46-52`` / ``element.go:478``.
     """
+    if unroll is None:
+        unroll = _unroll_default()
     t = _mul_unrolled(spec, x, y) if unroll else _mul_loop(spec, x, y)
     return _cond_sub_q(spec, _carry(spec, t))
 
 
-def square(spec: FieldSpec, x, unroll: bool = False):
+def square(spec: FieldSpec, x, unroll: bool | None = None):
     return mul(spec, x, x, unroll)
 
 
@@ -254,15 +274,7 @@ def mul_const(spec: FieldSpec, x, c: int):
 
 
 def _carry_scan_ext(spec: FieldSpec, t):
-    b = spec.limb_bits
-    tl = jnp.moveaxis(t, -1, 0)
-
-    def body(c, limb):
-        v = limb + c
-        return v >> b, v & spec.mask
-
-    c_out, out = lax.scan(body, jnp.zeros(t.shape[:-1], dtype=I32), tl)
-    return jnp.moveaxis(out, 0, -1), c_out
+    return _carry_scan(spec, t)
 
 
 # ---------------------------------------------------------------------------

@@ -18,18 +18,26 @@ from gnark_crypto_tpu.specs.field import FieldSpec
 
 
 def _exp_table(eng: FieldEngine, w, n: int):
-    """[w^0, ..., w^(n-1)] (Montgomery) via log2(n) doubling steps.
+    """[w^0, ..., w^(n-1)] (Montgomery) in log2(n) masked full-width muls.
 
-    Reference builds this with a parallel segment walk (``BuildExpTable``,
-    ``domain.go:300``); on TPU the doubling form P -> concat(P, P*w^|P|) is a
-    handful of fused vectorized muls.
+    table[i] = w^i computed bit-by-bit over the index: all intermediate
+    shapes are (n, ...), so XLA compiles exactly two kernel shapes no matter
+    the table size. (Reference: ``BuildExpTable`` domain.go:300 — a parallel
+    segment walk; concat-doubling would compile one shape per level.)
     """
     assert n & (n - 1) == 0, "table size must be a power of two"
-    table = eng.ones((1,))
-    stride = w[None]
-    while table.shape[0] < n:
-        table = jnp.concatenate([table, eng.mul(table, stride)], axis=0)
-        stride = eng.square(stride)
+    if n == 1:
+        return eng.ones((1,))
+    k = n.bit_length() - 1
+    idx = jnp.arange(n, dtype=jnp.int32)
+    table = eng.ones((n,))
+    wp = w[None] if eng.eshape(w) == () else w  # w^(2^bit), batch-of-1
+    for bit in range(k):
+        bit_set = (idx >> bit) & 1
+        table = eng.where(bit_set == 1,
+                          eng.mul(table, eng.broadcast_to(wp[0], (n,))),
+                          table)
+        wp = eng.square(wp)
     return table
 
 

@@ -91,6 +91,95 @@ def _dit_stages(eng, a, twiddle_fn, k):
     return a
 
 
+# ---------------------------------------------------------------------------
+# staged execution: ONE compiled butterfly kernel per (spec, n), reused for
+# every stage via index arrays. Rationale: the fused whole-transform graph
+# (k stages x unrolled limb mul) compiles for minutes on the TPU backend;
+# a single gather/scatter stage keeps the graph tiny and constant-shape.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _stage_index_stack(n: int, k: int, reverse: bool):
+    """(k, n/2) lo/hi/twiddle index arrays, one row per butterfly stage."""
+    los, his, tws = [], [], []
+    order = range(k - 1, -1, -1) if reverse else range(k)
+    for s in order:
+        half = n >> (s + 1)
+        i = np.arange(n // 2, dtype=np.int32)
+        block = i // half
+        off = i % half
+        lo = block * (2 * half) + off
+        los.append(lo)
+        his.append(lo + half)
+        tws.append((off << s).astype(np.int32))
+    return (jnp.asarray(np.stack(los)), jnp.asarray(np.stack(his)),
+            jnp.asarray(np.stack(tws)))
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_kernel(eng, decimation: Decimation):
+    """One jitted butterfly stage (same shape for every stage of a size-n
+    transform) — compiled once, dispatched k times from the host."""
+    def dif_stage(a, tw0, lo_i, hi_i, tw_i):
+        lo, hi, tw = a[lo_i], a[hi_i], tw0[tw_i]
+        out_lo = eng.add(lo, hi)
+        out_hi = eng.mul(eng.sub(lo, hi), tw)
+        return a.at[lo_i].set(out_lo).at[hi_i].set(out_hi)
+
+    def dit_stage(a, tw0, lo_i, hi_i, tw_i):
+        lo, hi, tw = a[lo_i], a[hi_i], tw0[tw_i]
+        hi = eng.mul(hi, tw)
+        return a.at[lo_i].set(eng.add(lo, hi)).at[hi_i].set(eng.sub(lo, hi))
+
+    return jax.jit(dif_stage if decimation == DIF else dit_stage)
+
+
+def _run_stages(domain: Domain, a, decimation: Decimation, inverse: bool):
+    """Butterfly stages via a single reused stage kernel.
+
+    The fused whole-transform graph (k stages x unrolled limb mul) takes
+    minutes to compile on the TPU backend, so on TPU the transform runs as
+    one small constant-shape gather/scatter kernel: host-dispatched k times
+    when called eagerly, or as a lax.scan over the stacked per-stage index
+    arrays when inside an outer trace (jit/vmap/shard_map)."""
+    eng = domain.eng
+    n = domain.n
+    tw0 = domain.twiddles0_inv if inverse else domain.twiddles0
+    if not isinstance(a, jax.core.Tracer):
+        kern = _stage_kernel(eng, decimation)
+        lo, hi, tw = _stage_index_stack(n, domain.k,
+                                        reverse=(decimation == DIT))
+        for s in range(domain.k):
+            a = kern(a, tw0, lo[s], hi[s], tw[s])
+        return a
+
+    idx = _stage_index_stack(n, domain.k, reverse=(decimation == DIT))
+
+    if decimation == DIF:
+        def body(a, s):
+            lo_i, hi_i, tw_i = s
+            lo, hi, tw = a[lo_i], a[hi_i], tw0[tw_i]
+            out_lo = eng.add(lo, hi)
+            out_hi = eng.mul(eng.sub(lo, hi), tw)
+            return a.at[lo_i].set(out_lo).at[hi_i].set(out_hi), None
+    else:
+        def body(a, s):
+            lo_i, hi_i, tw_i = s
+            lo, hi, tw = a[lo_i], a[hi_i], tw0[tw_i]
+            hi = eng.mul(hi, tw)
+            return (a.at[lo_i].set(eng.add(lo, hi))
+                    .at[hi_i].set(eng.sub(lo, hi))), None
+
+    a, _ = jax.lax.scan(body, a, idx)
+    return a
+
+
+def _use_staged(n: int, a) -> bool:
+    import jax as _jax
+
+    return _jax.default_backend() == "tpu"
+
+
 def fft(domain: Domain, a: jax.Array, decimation: Decimation = DIF,
         coset: bool = False) -> jax.Array:
     """Forward NTT; layout conventions as in the module docstring."""
@@ -102,6 +191,8 @@ def fft(domain: Domain, a: jax.Array, decimation: Decimation = DIF,
         if decimation == DIT:
             table = bit_reverse(table)
         a = eng.mul(a, table)
+    if _use_staged(n, a):
+        return _run_stages(domain, a, decimation, inverse=False)
     tw = lambda s: domain.stage_twiddles(s, inverse=False)
     if decimation == DIF:
         return _dif_stages(eng, a, tw, domain.k)
@@ -114,11 +205,14 @@ def fft_inverse(domain: Domain, a: jax.Array, decimation: Decimation = DIF,
     eng = domain.eng
     n = domain.n
     assert a.shape[0] == n
-    tw = lambda s: domain.stage_twiddles(s, inverse=True)
-    if decimation == DIF:
-        a = _dif_stages(eng, a, tw, domain.k)
+    if _use_staged(n, a):
+        a = _run_stages(domain, a, decimation, inverse=True)
     else:
-        a = _dit_stages(eng, a, tw, domain.k)
+        tw = lambda s: domain.stage_twiddles(s, inverse=True)
+        if decimation == DIF:
+            a = _dif_stages(eng, a, tw, domain.k)
+        else:
+            a = _dit_stages(eng, a, tw, domain.k)
     card_inv = eng.broadcast_to(domain.cardinality_inv, (1,))
     if not coset:
         return eng.mul(a, card_inv)

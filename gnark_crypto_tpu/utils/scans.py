@@ -22,10 +22,16 @@ def prefix_sum(eng, x):
 
 
 def exp_table(eng, w, n: int):
-    """[w^0 .. w^(n-1)] via log-doubling (n power of two not required)."""
-    table = eng.ones((1,))
-    stride = w[None] if eng.eshape(w) == () else w
-    while table.shape[0] < n:
-        table = jnp.concatenate([table, eng.mul(table, stride)], axis=0)
-        stride = eng.square(stride)
-    return table[:n]
+    """[w^0 .. w^(n-1)] via index-bit masked muls — constant shapes so only
+    two kernel shapes compile regardless of n (n need not be a power of 2)."""
+    nbits = max((n - 1).bit_length(), 1)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    table = eng.ones((n,))
+    wp = w[None] if eng.eshape(w) == () else w
+    for bit in range(nbits):
+        bit_set = (idx >> bit) & 1
+        table = eng.where(bit_set == 1,
+                          eng.mul(table, eng.broadcast_to(wp[0], (n,))),
+                          table)
+        wp = eng.square(wp)
+    return table
