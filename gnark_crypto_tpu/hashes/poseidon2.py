@@ -247,3 +247,56 @@ class Poseidon2:
 @functools.lru_cache(maxsize=None)
 def poseidon2(field_name: str, width=None, rf=None, rp=None) -> Poseidon2:
     return Poseidon2(fs.get_field(field_name), width, rf, rp)
+
+
+class Poseidon2MD:
+    """Host hashlib-style Merkle-Damgard hasher over a Poseidon2 permutation
+    (reference NewMerkleDamgardHasher, hash/merkle-damgard.go:77): zero IV,
+    blocks of t/2 canonical field elements, zero-padded on the left."""
+
+    def __init__(self, perm: Poseidon2):
+        self.perm = perm
+        self.spec = perm.spec
+        self._buf = b""
+
+    @property
+    def block_bytes(self) -> int:
+        return (self.perm.width // 2) * self.spec.n_bytes
+
+    def reset(self):
+        self._buf = b""
+
+    def update(self, data: bytes):
+        self._buf += data
+
+    write = update
+
+    def digest(self) -> bytes:
+        eng = self.perm.eng
+        t2 = self.perm.width // 2
+        nb = self.spec.n_bytes
+        data = self._buf
+        bb = self.block_bytes
+        if len(data) % bb:
+            # zero-pad the final partial block on the left (cloneLeftPadded)
+            last = data[-(len(data) % bb):]
+            data = data[: -(len(data) % bb)] + b"\x00" * (bb - len(last)) + last
+        state = eng.zeros((t2, 1))
+        for off in range(0, len(data), bb):
+            block_vals = []
+            for i in range(t2):
+                chunk = data[off + i * nb : off + (i + 1) * nb]
+                v = int.from_bytes(chunk, "big")
+                if v >= self.spec.modulus:
+                    raise ValueError("non-canonical block element")
+                block_vals.append(v)
+            block = eng.from_int(block_vals, mont=False)
+            block = block.reshape(t2, 1, *block.shape[1:])
+            state = self.perm.compress(state, block)
+        out = b""
+        for i in range(t2):
+            out += eng.to_bytes_host(state[i], mont=False)[0]
+        return out
+
+    def sum(self) -> bytes:
+        return self.digest()

@@ -174,10 +174,14 @@ def _run_stages(domain: Domain, a, decimation: Decimation, inverse: bool):
     return a
 
 
-def _use_staged(n: int, a) -> bool:
+def _use_staged(domain: Domain, a) -> bool:
     import jax as _jax
 
-    return _jax.default_backend() == "tpu"
+    # Only limb-engine transforms need the staged path (their fused graphs
+    # are k stages x ~1500-op unrolled muls and take minutes under the TPU
+    # compiler); f31 graphs are tiny and fuse fine everywhere.
+    return (_jax.default_backend() == "tpu"
+            and domain.eng.elem_dims > 0)
 
 
 def fft(domain: Domain, a: jax.Array, decimation: Decimation = DIF,
@@ -191,7 +195,7 @@ def fft(domain: Domain, a: jax.Array, decimation: Decimation = DIF,
         if decimation == DIT:
             table = bit_reverse(table)
         a = eng.mul(a, table)
-    if _use_staged(n, a):
+    if _use_staged(domain, a):
         return _run_stages(domain, a, decimation, inverse=False)
     tw = lambda s: domain.stage_twiddles(s, inverse=False)
     if decimation == DIF:
@@ -205,7 +209,7 @@ def fft_inverse(domain: Domain, a: jax.Array, decimation: Decimation = DIF,
     eng = domain.eng
     n = domain.n
     assert a.shape[0] == n
-    if _use_staged(n, a):
+    if _use_staged(domain, a):
         a = _run_stages(domain, a, decimation, inverse=True)
     else:
         tw = lambda s: domain.stage_twiddles(s, inverse=True)

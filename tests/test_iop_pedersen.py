@@ -1,0 +1,85 @@
+"""IOP polynomial layer + Pedersen commitment tests."""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnark_crypto_tpu.curve.jacobian import Affine, curve_ops
+from gnark_crypto_tpu.protocols import iop, pedersen
+from gnark_crypto_tpu.specs import curve as cs
+from gnark_crypto_tpu.specs import field as fs
+
+
+SPEC = fs.BN254_FR
+
+
+def rand_poly(n, seed):
+    rng = random.Random(seed)
+    eng = iop.for_spec(SPEC)
+    return iop.from_canonical(
+        SPEC, eng.from_int([rng.randrange(SPEC.modulus) for _ in range(n)],
+                           mont=False))
+
+
+def test_basis_roundtrips():
+    p = rand_poly(32, 1)
+    q = p.to_lagrange().to_canonical().to_regular()
+    assert np.array_equal(np.asarray(q.values), np.asarray(p.values))
+    q2 = p.to_lagrange_coset().to_canonical().to_regular()
+    assert np.array_equal(np.asarray(q2.values), np.asarray(p.values))
+    # lagrange values = evaluations at g^i
+    lag = p.to_lagrange().to_regular()
+    dom = iop._domain(SPEC, 32)
+    x0 = p.eng.from_int([1], mont=False)
+    assert p.eng.to_int(lag.values, mont=False)[0] == \
+        p.eng.to_int(p.evaluate(x0), mont=False)[0]
+
+
+def test_evaluate_matches_horner():
+    p = rand_poly(16, 2)
+    eng = p.eng
+    a = 12345
+    got = eng.to_int(p.evaluate(eng.from_int([a], mont=False)), mont=False)[0]
+    coeffs = eng.to_int(p.values, mont=False)
+    expect = 0
+    for c in reversed(coeffs):
+        expect = (expect * a + c) % SPEC.modulus
+    assert got == expect
+
+
+def test_quotient_by_vanishing():
+    """p = (X^n - 1) * h  ==>  divide_by_x_minus_one(p) == h (padded)."""
+    n = 8
+    rng = random.Random(4)
+    eng = iop.for_spec(SPEC)
+    q = SPEC.modulus
+    h = [rng.randrange(q) for _ in range(n)]
+    p_coeffs = [(-c) % q for c in h] + h  # (X^n - 1) * h, size 2n
+    p = iop.Polynomial(SPEC, eng.from_int(p_coeffs, mont=False),
+                       iop.Basis.CANONICAL, iop.Layout.REGULAR)
+    quot = iop.divide_by_x_minus_one(p)
+    got = eng.to_int(quot.values, mont=False)
+    assert got[:n] == h
+    assert all(v == 0 for v in got[n:])
+
+
+def test_pedersen_commit_prove_verify():
+    name = "bn254"
+    g1c = curve_ops(cs.get_curve("bn254_g1"))
+    rng = random.Random(5)
+    n = 8
+    # basis: random multiples of G
+    from tests.test_curve_g1 import pts_to_device, rand_points
+
+    basis = pts_to_device(g1c, rand_points(g1c, n, seed=31))
+    pks, vk = pedersen.setup(name, [basis], sigma=0xABCDEF, g2_scalar=3)
+    values = g1c.fr.from_int(
+        [rng.randrange(g1c.spec.fr.modulus) for _ in range(n)], mont=False)
+    com = pedersen.commit(name, pks[0], values)
+    pok = pedersen.prove_knowledge(name, pks[0], values)
+    assert bool(np.asarray(pedersen.verify(name, vk, com, pok)))
+    # tampered proof fails
+    bad = Affine(pok.x, g1c.fp.neg(pok.y))
+    assert not bool(np.asarray(pedersen.verify(name, vk, com, bad)))
