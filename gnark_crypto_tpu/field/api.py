@@ -59,6 +59,19 @@ class FieldEngine:
             cond = cond[..., None]
         return jnp.where(cond, x, y)
 
+    def is_square(self, x):
+        """QR mask via Euler criterion (legendre in {0, 1, q-1})."""
+        leg = self.legendre(x)
+        one = self.broadcast_to(self.ones(), self.eshape(x))
+        return self.equal(leg, one) | self.is_zero(x)
+
+    def sgn0(self, x):
+        """RFC 9380 sgn0: parity of the canonical value (on device)."""
+        plain = self.from_mont(x)
+        if self.elem_dims:
+            return plain[..., 0] & 1
+        return (plain & 1).astype(jnp.int32)
+
     def __repr__(self):
         return f"FieldEngine({self.spec.name})"
 

@@ -18,7 +18,8 @@ from gnark_crypto_tpu.specs.curve import CurveSpec
 from gnark_crypto_tpu.specs.field import FieldSpec
 
 # SVDW constants per curve: (Z, c1, c2, c3, c4) — from
-# internal/generator/config/<curve>.go HashE1 (decimal strings)
+# internal/generator/config/<curve>.go HashE1/HashE2 (decimal strings);
+# G2 constants are E2 coefficient tuples (A0, A1).
 SVDW = {
     "bn254_g1": (
         1,
@@ -26,6 +27,17 @@ SVDW = {
         10944121435919637611123202872628637544348155578648911831344518947322613104291,
         8815841940592487685674414971303048083897117035520822607866,
         7296080957279758407415468581752425029565437052432607887563012631548408736189,
+    ),
+    "bn254_g2": (
+        (1, 0),
+        (19485874751759354771024239261021720505790618469301721065564631296452457478374,
+         266929791119991161246907387137283842545076965332900288569378510910307636690),
+        (10944121435919637611123202872628637544348155578648911831344518947322613104291,
+         0),
+        (18992192239972082890849143911285057164064277369389217330423471574879236301292,
+         21819008332247140148575583693947636719449476128975323941588917397607662637108),
+        (10499238450719652342378357227399831140106360636427411350395554762472100376473,
+         6940174569119770192419592065569379906172001098655407502803841283667998553941),
     ),
 }
 
@@ -59,13 +71,14 @@ def hash_to_field(spec: FieldSpec, msg: bytes, dst: bytes, count: int
             for i in range(count)]
 
 
-def map_to_curve_svdw(curve: Curve, u):
+def map_to_curve_svdw(curve: Curve, u, svdw_key: str | None = None):
     """Shallue–van de Woestijne map, batched (hash_to_g1.go:63 MapToCurve1).
 
-    u: base-field element batch (Montgomery). Returns Affine batch.
+    Generic over the coordinate engine — the same code maps to G1 (Fp) and
+    G2 (Fp2, reference MapToCurve2). u: coordinate-field batch (Montgomery).
     """
     f = curve.fp
-    consts = SVDW[curve.spec.name]
+    consts = SVDW[svdw_key or curve.spec.name]
     z, c1, c2, c3, c4 = (f.broadcast_to(f.from_int(c), f.eshape(u))
                          for c in consts)
     one = f.broadcast_to(f.ones(), f.eshape(u))
@@ -82,26 +95,15 @@ def map_to_curve_svdw(curve: Curve, u):
     gx2 = f.add(f.mul(f.square(x2), x2), b)
     x3 = f.add(f.mul(f.square(f.mul(f.square(tv2), tv3)), c4), z)
 
-    qnr = f.neg(one)
-    gx1_square = ~f.equal(f.legendre(gx1), qnr)   # legendre in {1, 0, q-1}
-    gx2_square = ~f.equal(f.legendre(gx2), qnr)
+    gx1_square = f.is_square(gx1)
+    gx2_square = f.is_square(gx2)
     x = f.select(gx1_square, x1, x3)
     x = f.select(gx2_square & ~gx1_square, x2, x)
     gx = f.add(f.mul(f.square(x), x), b)
     y, _ = f.sqrt(gx)
-    # select sign: sgn0(y) must equal sgn0(u) (canonical parity)
-    sgn_u = _sgn0(f, u)
-    sgn_y = _sgn0(f, y)
-    y = f.select(sgn_u == sgn_y, y, f.neg(y))
+    # select sign: sgn0(y) must equal sgn0(u)
+    y = f.select(f.sgn0(u) == f.sgn0(y), y, f.neg(y))
     return Affine(x, y)
-
-
-def _sgn0(f, v):
-    """Parity of the canonical (non-Montgomery) value (G1Sgn0)."""
-    plain = f.from_mont(v)
-    if f.elem_dims:
-        return plain[..., 0] & 1
-    return (plain & 1).astype(jnp.int32)
 
 
 def map_to_g1(name_or_spec, u) -> Affine:
@@ -134,3 +136,79 @@ def hash_to_g1(name: str, msg: bytes, dst: bytes) -> Affine:
     q0 = Jac(*(c[:1] for c in curve.from_affine(pts)))
     q1 = Jac(*(c[1:] for c in curve.from_affine(pts)))
     return curve.to_affine(curve.add(q0, q1))
+
+
+# ---------------------------------------------------------------------------
+# G2 (bn254): SVDW over Fp2 + psi-based cofactor clearing
+# ---------------------------------------------------------------------------
+
+def hash_to_field_e2(name: str, msg: bytes, dst: bytes, count: int):
+    """count E2 elements (2 base elements each, fptower.Hash)."""
+    from gnark_crypto_tpu.curve.g2 import g2_curve
+
+    g2 = g2_curve(name)
+    base_spec = g2.spec.fp
+    flat = hash_to_field(base_spec, msg, dst, 2 * count)
+    return [(flat[2 * i], flat[2 * i + 1]) for i in range(count)]
+
+
+def _psi(name: str, pts: Affine) -> Affine:
+    """Untwist-Frobenius endomorphism on G2 affine points (g2.go psi)."""
+    from gnark_crypto_tpu.pairing.pairing12 import get_ctx
+
+    ctx = get_ctx(name)
+    x, y = ctx.psi_coords(pts.x, pts.y)
+    return Affine(x, y)
+
+
+def clear_cofactor_g2(name: str, pts: Affine) -> Affine:
+    """bn254 G2 ClearCofactor (g2.go: Fuentes et al., cacr2011-26 §6.1):
+    [x]P + psi(3[x]P) + psi^2([x]P) + psi^3(P)."""
+    from gnark_crypto_tpu.curve.g2 import g2_curve
+    from gnark_crypto_tpu.pairing.pairing12 import get_ctx
+
+    g2 = g2_curve(name)
+    ctx = get_ctx(name)
+    xq = g2.to_affine(g2.scalar_mul(
+        g2.from_affine(pts),
+        g2.fr.from_int([ctx.seed] * pts.x.shape[0], mont=False),
+        nbits=ctx.seed.bit_length()))
+    xq_j = g2.from_affine(xq)
+    t3 = g2.add(g2.double(xq_j), xq_j)  # 3[x]P
+    p1 = _psi(name, g2.to_affine(t3))
+    p2 = _psi(name, _psi(name, xq))
+    p3 = _psi(name, _psi(name, _psi(name, pts)))
+    acc = g2.add(xq_j, g2.from_affine(p1))
+    acc = g2.add(acc, g2.from_affine(p2))
+    acc = g2.add(acc, g2.from_affine(p3))
+    return g2.to_affine(acc)
+
+
+def map_to_g2(name: str, u) -> Affine:
+    from gnark_crypto_tpu.curve.g2 import g2_curve
+
+    g2 = g2_curve(name)
+    return map_to_curve_svdw(g2, u, svdw_key=f"{name}_g2")
+
+
+def encode_to_g2(name: str, msg: bytes, dst: bytes) -> Affine:
+    """EncodeToG2: one map + cofactor clearing."""
+    from gnark_crypto_tpu.curve.g2 import g2_curve
+
+    g2 = g2_curve(name)
+    u = hash_to_field_e2(name, msg, dst, 1)
+    pt = map_to_g2(name, g2.fp.from_int(u))
+    return clear_cofactor_g2(name, pt)
+
+
+def hash_to_g2(name: str, msg: bytes, dst: bytes) -> Affine:
+    """HashToG2: two maps, add, clear cofactor (hash_to_g2.go)."""
+    from gnark_crypto_tpu.curve.g2 import g2_curve
+
+    g2 = g2_curve(name)
+    u = hash_to_field_e2(name, msg, dst, 2)
+    pts = map_to_g2(name, g2.fp.from_int(u))
+    q0 = Jac(*(c[:1] for c in g2.from_affine(pts)))
+    q1 = Jac(*(c[1:] for c in g2.from_affine(pts)))
+    summed = g2.to_affine(g2.add(q0, q1))
+    return clear_cofactor_g2(name, summed)

@@ -236,6 +236,26 @@ class QuadExtEngine(ExtEngine):
     def conjugate(self, x):
         return self.build([self.coeff(x, 0), self.base.neg(self.coeff(x, 1))])
 
+    def norm(self, a):
+        """a0^2 - nr*a1^2 (the Fp2 -> Fp norm for quadratic ext of fp)."""
+        f = self.base
+        return f.sub(f.square(self.coeff(a, 0)),
+                     self.mul_by_nr(f.square(self.coeff(a, 1))))
+
+    def is_square(self, a):
+        """QR in Fp2 iff the norm is a QR in Fp."""
+        return self.base.is_square(self.norm(a))
+
+    def sgn0(self, a):
+        """RFC 9380 sgn0 for GF(p^2): sign of a0, tie-broken by a1."""
+        f = self.base
+        a0, a1 = self.coeff(a, 0), self.coeff(a, 1)
+        s0 = f.sgn0(a0)
+        z0 = f.is_zero(a0)
+        import jax.numpy as _jnp
+
+        return s0 | (z0.astype(_jnp.int32) & f.sgn0(a1))
+
     def sqrt(self, a):
         """Square root in Fp2 over a prime base (complex method; reference
         e2.go Sqrt). Returns (root, has_root); all branches masked so one

@@ -54,3 +54,32 @@ def test_hash_to_g1_vectors():
         assert curve.fp.to_int(pt.x) == [px], msg
         assert curve.fp.to_int(pt.y) == [py], msg
         assert bool(np.asarray(curve.on_curve_affine(pt))[0])
+
+
+G2_DST_RO = b"QUUX-V01-CS02-with-BN254G2_XMD:SHA-256_SVDW_RO_"
+
+# from /root/reference/ecc/bn254/hash_vectors_test.go hashToG2Vector
+G2_HASH_CASES = [
+    (b"",
+     ((0x1192005a0f121921a6d5629946199e4b27ff8ee4d6dd4f9581dc550ade851300,
+       0x1747d950a6f23c16156e2171bce95d1189b04148ad12628869ed21c96a8c9335),
+      (0x498f6bb5ac309a07d9a8b88e6ff4b8de0d5f27a075830e1eb0e68ea318201d8,
+       0x2c9755350ca363ef2cf541005437221c5740086c2e909b71d075152484e845f4))),
+    (b"abc",
+     ((0x16c88b54eec9af86a41569608cd0f60aab43464e52ce7e6e298bf584b94fccd2,
+       0xb5db3ca7e8ef5edf3a33dfc3242357fbccead98099c3eb564b3d9d13cba4efd),
+      (0x1c42ba524cb74db8e2c680449746c028f7bea923f245e69f89256af2d6c5f3ac,
+       0x22d02d2da7f288545ff8789e789902245ab08c6b1d253561eec789ec2c1bd630))),
+]
+
+
+def test_hash_to_g2_vectors():
+    from gnark_crypto_tpu.curve.g2 import g2_curve
+
+    g2 = g2_curve("bn254")
+    for msg, (px, py) in G2_HASH_CASES:
+        pt = h2c.hash_to_g2("bn254", msg, G2_DST_RO)
+        got_x = g2.fp.to_int(pt.x)
+        got_y = g2.fp.to_int(pt.y)
+        assert (got_x[0][0], got_x[1][0]) == px, msg
+        assert (got_y[0][0], got_y[1][0]) == py, msg

@@ -61,3 +61,28 @@ def test_fflonk_roundtrip(srs):
     # tamper
     proof.claimed_values[0][0][0] = (proof.claimed_values[0][0][0] + 1) % r
     assert not fflonk.batch_verify(NAME, proof, digests, points, srs.vk)
+
+
+def test_permutation_proof(srs):
+    import random as _random
+
+    from gnark_crypto_tpu.curve.jacobian import curve_ops
+    from gnark_crypto_tpu.protocols import permutation
+    from gnark_crypto_tpu.specs import curve as cs
+
+    g1c = curve_ops(cs.get_curve("bn254_g1"))
+    r = g1c.spec.fr.modulus
+    rng = _random.Random(7)
+    vals = [rng.randrange(r) for _ in range(SIZE)]
+    perm = list(range(SIZE))
+    rng.shuffle(perm)
+    t1 = g1c.fr.from_int(vals, mont=False)
+    t2 = g1c.fr.from_int([vals[p] for p in perm], mont=False)
+    proof = permutation.prove(NAME, srs.pk, t1, t2)
+    assert permutation.verify(NAME, srs.vk, proof)
+    # non-permutation must fail
+    bad_vals = list(vals)
+    bad_vals[0] = (bad_vals[0] + 1) % r
+    t2_bad = g1c.fr.from_int(bad_vals, mont=False)
+    proof_bad = permutation.prove(NAME, srs.pk, t1, t2_bad)
+    assert not permutation.verify(NAME, srs.vk, proof_bad)
