@@ -21,6 +21,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
-# NOTE: do NOT enable the persistent compilation cache here — in this
-# environment cached CPU AOT artifacts reload with mismatched target features
-# and SIGILL the test process.
+# Persistent compile cache, CPU-ONLY path. Never share this directory with
+# TPU-platform processes: entries written by mixed-platform runs reload with
+# mismatched CPU features and SIGILL the process (observed). Pure-CPU runs
+# produce/consume consistent entries and cut repeat-suite compile time ~10x.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

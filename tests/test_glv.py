@@ -1,0 +1,38 @@
+"""GLV decomposition + endomorphism scalar mul vs the plain ladder."""
+
+import random
+
+import numpy as np
+import pytest
+
+from gnark_crypto_tpu.curve import glv
+from gnark_crypto_tpu.curve.jacobian import curve_ops
+from gnark_crypto_tpu.specs import curve as cs
+from tests.test_curve_g1 import affine_to_ints, pts_to_device, rand_points
+
+
+@pytest.mark.parametrize("name", ["bn254_g1", "secp256k1_g1", "bls12_381_g1"])
+def test_decompose(name):
+    spec = cs.get_curve(name)
+    r = spec.fr.modulus
+    lam = spec.glv_lambda
+    rng = random.Random(1)
+    bound = 4 * (1 << ((r.bit_length() + 1) // 2))  # ~sqrt(r) with slack
+    for k in [0, 1, r - 1] + [rng.randrange(r) for _ in range(10)]:
+        k1, k2 = glv.decompose_scalar(spec, k)
+        assert (k1 + k2 * lam - k) % r == 0
+        assert abs(k1) < bound and abs(k2) < bound
+
+
+def test_glv_scalar_mul_matches_ladder():
+    name = "bn254_g1"
+    curve = curve_ops(cs.get_curve(name))
+    r = curve.spec.fr.modulus
+    rng = random.Random(2)
+    pts = rand_points(curve, 4, seed=41)
+    ks = [0, 1, r - 1, rng.randrange(r)]
+    P = curve.from_affine(pts_to_device(curve, pts))
+    got = affine_to_ints(curve, curve.to_affine(glv.scalar_mul_glv(curve, P, ks)))
+    expect = affine_to_ints(curve, curve.to_affine(curve.scalar_mul(
+        P, curve.fr.from_int(ks, mont=False))))
+    assert got == expect
