@@ -90,3 +90,13 @@ def test_ecdsa_known_secp256k1_vector():
     pub = type(e.generate_key(b"x").public_key)(
         e._base_mul(d))
     assert e.verify(b"ignored", Signature(r, s), pub, hasher=_FakeHash)
+
+
+def test_stark_pedersen_hash_known_vector():
+    # cross-checked with the Starkware reference implementation:
+    # pedersen_hash(1, 2) — well-known community test value
+    from gnark_crypto_tpu.hashes.pedersen_hash import pedersen
+
+    got = pedersen([1], [2])[0]
+    expect = 0x5bb9440e27889a364bcb678b1f679ecd1347acdedcbf36e83494f857cc58026
+    assert got == expect
