@@ -177,11 +177,10 @@ def _run_stages(domain: Domain, a, decimation: Decimation, inverse: bool):
 def _use_staged(domain: Domain, a) -> bool:
     import jax as _jax
 
-    # Only limb-engine transforms need the staged path (their fused graphs
-    # are k stages x ~1500-op unrolled muls and take minutes under the TPU
-    # compiler); f31 graphs are tiny and fuse fine everywhere.
-    return (_jax.default_backend() == "tpu"
-            and domain.eng.elem_dims > 0)
+    # The fused whole-transform graph compiles pathologically slowly under
+    # the TPU backend for BOTH engines (measured: minutes even for f31 at
+    # 2^20); the staged path keeps the compiled graph O(1) in transform size.
+    return _jax.default_backend() == "tpu"
 
 
 def fft(domain: Domain, a: jax.Array, decimation: Decimation = DIF,

@@ -21,10 +21,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
-# Persistent compile cache, CPU-ONLY path. Never share this directory with
-# TPU-platform processes: entries written by mixed-platform runs reload with
-# mismatched CPU features and SIGILL the process (observed). Pure-CPU runs
-# produce/consume consistent entries and cut repeat-suite compile time ~10x.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: the persistent compilation cache MUST stay off in this environment.
+# This jaxlib's CPU AOT loader compares pseudo-features (prefer-no-scatter/
+# gather) that differ between compile and load, and reloaded gather/scatter
+# kernels SIGILL/segfault the process (reproduced twice on full-suite runs;
+# small arithmetic-only entries reload fine, which makes it look spuriously
+# healthy in smoke tests).
