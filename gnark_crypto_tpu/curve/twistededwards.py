@@ -58,6 +58,72 @@ BN254_TED = register(TwistedEdwardsSpec(
     gy=16950150798460657717958625567821834550301663161624707787222815936182638968203,
 ))
 
+BLS12_377_TED = register(TwistedEdwardsSpec(
+    name="bls12_377",
+    base=fs.BLS12_377_FR, a=-1, d=3021, cofactor=4,
+    order=2111115437357092606062206234695386632838870926408408195193685246394721360383,
+    gx=717051916204163000937139483451426116831771857428389560441264442629694842243,
+    gy=882565546457454111605105352482086902132191855952243170543452705048019814192,
+))
+
+BLS12_381_TED = register(TwistedEdwardsSpec(
+    name="bls12_381",
+    base=fs.BLS12_381_FR, a=-1,
+    d=19257038036680949359750312669786877991949435402254120286184196891950884077233,
+    cofactor=8,
+    order=6554484396890773809930967563523245729705921265872317281365359162392183254199,
+    gx=23426137002068529236790192115758361610982344002369094106619281483467893291614,
+    gy=39325435222430376843701388596190331198052476467368316772266670064146548432123,
+))
+
+BANDERSNATCH = register(TwistedEdwardsSpec(
+    name="bandersnatch",
+    base=fs.BLS12_381_FR, a=-5,
+    d=45022363124591815672509500913686876175488063829319466900776701791074614335719,
+    cofactor=4,
+    order=13108968793781547619861935127046491459309155893440570251786403306729687672801,
+    gx=18886178867200960497001835917649091219057080094937609519140440539760939937304,
+    gy=19188667384257783945677642223292697773471335439753913231509108946878080696678,
+))
+
+BLS24_315_TED = register(TwistedEdwardsSpec(
+    name="bls24_315",
+    base=fs.BLS24_315_FR, a=-1,
+    d=8771873785799030510227956919069912715983412030268481769609515223557738569779,
+    cofactor=8,
+    order=1437753473921907580703509300571927811987591765799164617677716990775193563777,
+    gx=750878639751052675245442739791837325424717022593512121860796337974109802674,
+    gy=1210739767513185331118744674165833946943116652645479549122735386298364723201,
+))
+
+BLS24_317_TED = register(TwistedEdwardsSpec(
+    name="bls24_317",
+    base=fs.BLS24_317_FR, a=-1,
+    d=20748505950524021841644589704740731932416084248011369709738936344973878925081,
+    cofactor=8,
+    order=3858698654557105525567273719690987823069521430163883173133245580997415449969,
+    gx=4348505656527095883506785370890963704100065639426869666063106978260788240233,
+    gy=1929349327278552762783636859845493911537170411830425720219700276810167091201,
+))
+
+BW6_761_TED = register(TwistedEdwardsSpec(
+    name="bw6_761",
+    base=fs.BW6_761_FR, a=-1, d=79743, cofactor=8,
+    order=32333053251621136751331591711861691692049189094364332567435817881934511297123972799646723302813083835942624121493,
+    gx=109887223397525145051017418760180386187632078445902299543670312117371514695798874370143656894667315818446285582389,
+    gy=31146823455109675839494591101665406662142618451815824757336761504421066243585705807124836638254810186490790034654,
+))
+
+BW6_633_TED = register(TwistedEdwardsSpec(
+    name="bw6_633",
+    base=fs.BW6_633_FR, a=-1,
+    d=37248940285811842784899494310834635440994424264352085037441815381151934266434102922992043546621,
+    cofactor=8,
+    order=4963142838689179791878211236301121218116687802119716497817028544854034649070444389864454748079,
+    gx=37635937024655419978837220647164498012335808680404874556501960268316961933409049243153117555100,
+    gy=23823085625708063001015413934245381846960101450148849601038571303382730455875805408244170280142,
+))
+
 
 class ExtPoint(NamedTuple):
     x: jax.Array

@@ -100,3 +100,13 @@ def test_stark_pedersen_hash_known_vector():
     got = pedersen([1], [2])[0]
     expect = 0x5bb9440e27889a364bcb678b1f679ecd1347acdedcbf36e83494f857cc58026
     assert got == expect
+
+
+@pytest.mark.parametrize("ted", ["bls12_377", "bls12_381", "bandersnatch",
+                                 "bls24_315", "bw6_633"])
+def test_ted_companions_on_curve(ted):
+    c = ted_curve(ted)
+    g = c.generator_affine((1,))
+    assert bool(np.asarray(c.on_curve_affine(g))[0]), ted
+    res = c.to_affine(c.scalar_mul_int(c.from_affine(g), [c.spec.order]))
+    assert c.f.to_int(res.x) == [0] and c.f.to_int(res.y) == [1], ted
