@@ -21,17 +21,25 @@ def _lattice_2d(r: int, lam: int):
     half-GCD style truncated Euclid on (r, lam) yielding two short vectors
     V1=(a1, -b1), V2=(a2, -b2) with a_i + b_i*lam ≡ 0 (mod r).
     """
-    # truncated extended Euclid: stop when remainder < sqrt(r)
+    # truncated extended Euclid: stop when remainder < sqrt(r), then take one
+    # extra step so both neighbors of the threshold are available (needed
+    # when lam itself is already < sqrt(r), e.g. bls12 lambda = x^2 - 1)
     rs = [r, lam]
     ts = [0, 1]
     while rs[-1] * rs[-1] >= r:
         q = rs[-2] // rs[-1]
         rs.append(rs[-2] - q * rs[-1])
         ts.append(ts[-2] - q * ts[-1])
-    # vectors (r_i, -t_i) satisfy r_i ≡ t_i * lam (mod r)
-    v1 = (rs[-1], -ts[-1])
-    v2 = (rs[-2], -ts[-2])
-    # pick the shorter of v2 and the previous for the second basis vector
+    q = rs[-2] // rs[-1]
+    rs.append(rs[-2] - q * rs[-1])
+    ts.append(ts[-2] - q * ts[-1])
+    # vectors (r_i, -t_i) satisfy r_i ≡ t_i * lam (mod r); consecutive pairs
+    # are independent (det = ±r)
+    v1 = (rs[-2], -ts[-2])
+    prev = (rs[-3], -ts[-3])
+    nxt = (rs[-1], -ts[-1])
+    v2 = prev if (prev[0] ** 2 + prev[1] ** 2
+                  < nxt[0] ** 2 + nxt[1] ** 2) else nxt
     return v1, v2
 
 
