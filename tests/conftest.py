@@ -27,3 +27,15 @@ jax.config.update("jax_threefry_partitionable", True)
 # kernels SIGILL/segfault the process (reproduced twice on full-suite runs;
 # small arithmetic-only entries reload fine, which makes it look spuriously
 # healthy in smoke tests).
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled-program state between modules: the XLA CPU backend has
+    been observed to abort (SIGABRT in backend_compile) after accumulating
+    many large compilations in one process."""
+    yield
+    jax.clear_caches()
