@@ -112,3 +112,18 @@ def test_scalar_mul_vs_oracle():
     one = curve.from_affine(pts_to_device(curve, [g]))
     res = curve.scalar_mul(one, k_ord, nbits=curve.spec.fr.modulus.bit_length() + 1)
     assert bool(np.asarray(curve.is_inf_jac(res))[0])
+
+
+@pytest.mark.parametrize("name", ["bls24_315_g1", "bls24_317_g1",
+                                  "bw6_761_g1", "bw6_633_g1"])
+def test_new_curves_generator_and_order(name):
+    curve = curve_ops(cs.get_curve(name))
+    g = curve.generator_affine()
+    assert bool(np.asarray(curve.on_curve_affine(g)))
+    gb = Affine(curve.fp.broadcast_to(g.x, (1,)),
+                curve.fp.broadcast_to(g.y, (1,)))
+    r = curve.spec.fr.modulus
+    res = curve.scalar_mul(curve.from_affine(gb),
+                           curve.fr.from_int([r], mont=False),
+                           nbits=r.bit_length() + 1)
+    assert bool(np.asarray(curve.is_inf_jac(res))[0])
