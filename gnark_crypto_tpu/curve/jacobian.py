@@ -46,8 +46,14 @@ class Curve:
         self.spec = spec
         self.fp = fp_eng if fp_eng is not None else for_spec(spec.fp)
         self.fr: FieldEngine = for_spec(spec.fr)
-        a = spec.a
-        self.a_is_zero = all(c == 0 for c in a) if isinstance(a, tuple) else a == 0
+        def _flat(v):
+            if isinstance(v, tuple):
+                for c in v:
+                    yield from _flat(c)
+            else:
+                yield v
+
+        self.a_is_zero = all(c == 0 for c in _flat(spec.a))
 
     # -- constructors -------------------------------------------------------
     def const_affine(self, x: int, y: int) -> Affine:

@@ -66,6 +66,18 @@ class PairingCtx:
             self.b_twist = _h2_mul(_h2_inv(self.tower.xi, p, self.tower.beta),
                                    (3, 0), p, self.tower.beta)
             self.twist_type = "D"
+        elif name == "bls24_315":
+            from gnark_crypto_tpu.towers.tower24 import get_tower24
+
+            self.tower = get_tower24(name)
+            self.family = "bls24"
+            self.seed = 3218079743        # |x0|, x0 < 0 (bls24-315.go:161;
+            self.seed_neg = True          # Expt chain = x^(1+3*2^20-3*2^30))
+            self.loop = naf(self.seed)    # NafDecomposition (bls24-315.go:158)
+            p = self.tower.p
+            # D-twist: b' = b / v = v^-1 = u*v/13 (bls24-315.go:113-115)
+            self.b_twist = ((0, 0), (0, pow(13, -1, p)))
+            self.twist_type = "D"
         elif name in ("bls12_381", "bls12_377"):
             self.tower = get_tower(name)
             self.family = "bls12"
@@ -92,11 +104,13 @@ class PairingCtx:
         e2 = self.tower.e2
         self._b_twist_dev = e2.from_int(self.b_twist)
 
-    # -- E2 helpers ---------------------------------------------------------
+    # -- coefficient-level helpers ------------------------------------------
     def _scale_e2(self, a, s):
-        """E2 coeff-wise scale by an fp element (E2.MulByElement)."""
-        e2, f = self.tower.e2, self.tower.fp
-        return e2.build([f.mul(e2.coeff(a, 0), s), f.mul(e2.coeff(a, 1), s)])
+        """Coefficient-level element scaled componentwise by an fp element
+        (E2.MulByElement / E4.MulByElement) — works for any tower level."""
+        from gnark_crypto_tpu.towers.tower24 import _scale_ext_by_fp
+
+        return _scale_ext_by_fp(self.tower, a, s)
 
     def _mul_b_twist(self, a):
         e2 = self.tower.e2
@@ -266,17 +280,25 @@ def miller_loop(ctx: PairingCtx, P: Affine, QX, QY):
 
 
 def final_exponentiation(ctx: PairingCtx, z):
-    """(p^12-1)/r exponentiation (pairing.go:52 FinalExponentiation)."""
+    """Full-group exponentiation to the unique r-th power residue class
+    ((p^k-1)/r; pairing.go:52 FinalExponentiation)."""
     tw = ctx.tower
     e12 = tw.e12
-    # easy part: z^((p^6-1)(p^2+1))
+    # easy part: conj = p^(k/2) power; then (p^(k/4 or k/6...)+1) via the
+    # family's even Frobenius
     t0 = tw.conjugate(z)
     zi = e12.inverse(z)
     t0 = e12.mul(t0, zi)
-    r = e12.mul(tw.frobenius_square(t0), t0)
+    if ctx.family == "bls24":
+        # (p^12-1)(p^4+1) (bls24 pairing.go:64-69)
+        r = e12.mul(tw.frobenius_quad(t0), t0)
+    else:
+        r = e12.mul(tw.frobenius_square(t0), t0)
 
     if ctx.family == "bn":
         return _hard_part_bn(ctx, r)
+    if ctx.family == "bls24":
+        return _hard_part_bls24(ctx, r)
     return _hard_part_bls12(ctx, r)
 
 
@@ -360,3 +382,40 @@ def pairing_check(name: str, P: Affine, QX, QY):
     e12 = ctx.tower.e12
     one = e12.ones()
     return e12.equal(g, one)
+
+
+def _hard_part_bls24(ctx: PairingCtx, result):
+    """BLS24 hard part — Hayashida-Hayasaka-Teruya (eprint 2020/875):
+    3(p^8-p^4+1)/r = (x-1)^2 (x+p)(x^2+p^2)(x^4+p^4-1) + 3
+    (exact op sequence of bls24-315 pairing.go:77-105)."""
+    tw = ctx.tower
+    e24 = tw.e12
+
+    def expt_signed(x):
+        y = _expt(ctx, x)
+        return tw.conjugate(y) if ctx.seed_neg else y
+
+    t0 = tw.cyclotomic_square(result)
+    t1 = expt_signed(result)
+    t2 = tw.conjugate(result)
+    t1 = e24.mul(t1, t2)
+    t2 = expt_signed(t1)
+    t1 = tw.conjugate(t1)
+    t1 = e24.mul(t1, t2)
+    t2 = expt_signed(t1)
+    t1 = tw.frobenius(t1)
+    t1 = e24.mul(t1, t2)
+    result = e24.mul(result, t0)
+    t0 = expt_signed(t1)
+    t2 = expt_signed(t0)
+    t0 = tw.frobenius_square(t1)
+    t2 = e24.mul(t0, t2)
+    t1 = expt_signed(t2)
+    t1 = expt_signed(t1)
+    t1 = expt_signed(t1)
+    t1 = expt_signed(t1)
+    t0 = tw.frobenius_quad(t2)
+    t0 = e24.mul(t0, t1)
+    t2 = tw.conjugate(t2)
+    t0 = e24.mul(t0, t2)
+    return e24.mul(result, t0)

@@ -13,9 +13,13 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+if "parallel_codegen" not in flags:
+    # serialize LLVM codegen: XLA:CPU's parallel codegen has aborted the
+    # process while compiling large scan bodies (observed in backend_compile
+    # on pairing/scalar-mul programs)
+    flags += " --xla_cpu_parallel_codegen_split_count=1"
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 

@@ -87,3 +87,26 @@ def test_pairing_check_and_infinity():
     inf = g1.inf_affine((1,))
     lhs = pairing12.pair(name, inf, Q.x, Q.y)
     assert bool(np.asarray(e12.equal(lhs, e12.ones())))
+
+
+def test_bls24_315_pairing_bilinear():
+    name = "bls24_315"
+    g1 = g1_curve(name)
+    g2 = g2_curve(name)
+    ctx = pairing12.get_ctx(name)
+    e24 = ctx.tower.e12
+    assert bool(np.asarray(g2.on_curve_affine(g2.generator_affine())))
+
+    a, b = 11, 23
+    P = scaled_gen(g1, 1)
+    Q = scaled_gen(g2, 1)
+    Pa = scaled_gen(g1, a)
+    Qb = scaled_gen(g2, b)
+    base = pairing12.pair(name, P, Q.x, Q.y)
+    lhs = pairing12.pair(name, Pa, Qb.x, Qb.y)
+    rhs = e24.exp_const(base, a * b)
+    assert np.array_equal(np.asarray(lhs), np.asarray(rhs))
+    one = e24.ones()
+    assert not bool(np.asarray(e24.equal(base, one)))
+    r = g1.spec.fr.modulus
+    assert bool(np.asarray(e24.equal(e24.exp_const(base, r), one)))

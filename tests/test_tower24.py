@@ -1,0 +1,63 @@
+"""BLS24-315 tower algebra: field laws, Frobenius maps, cyclotomic ops."""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnark_crypto_tpu.towers.tower24 import get_tower24
+
+
+def rand_e24(tw, n, seed):
+    rng = random.Random(seed)
+    p = tw.p
+
+    def re4():
+        return ((rng.randrange(p), rng.randrange(p)),
+                (rng.randrange(p), rng.randrange(p)))
+
+    vals = [tuple(tuple(re4() for _ in range(3)) for _ in range(2))
+            for _ in range(n)]
+    return jnp.stack([tw.e12.from_int(v) for v in vals])
+
+
+def test_e24_field_laws():
+    tw = get_tower24("bls24_315")
+    e24 = tw.e12
+    x = rand_e24(tw, 2, 1)
+    y = rand_e24(tw, 2, 2)
+    z = rand_e24(tw, 2, 3)
+    assert np.array_equal(np.asarray(e24.mul(x, e24.mul(y, z))),
+                          np.asarray(e24.mul(e24.mul(x, y), z)))
+    one = e24.broadcast_to(e24.ones(), (2,))
+    assert np.array_equal(np.asarray(e24.mul(x, e24.inverse(x))),
+                          np.asarray(one))
+
+
+def test_e24_frobenius():
+    tw = get_tower24("bls24_315")
+    e24 = tw.e12
+    x = rand_e24(tw, 1, 4)
+    fr1 = tw.frobenius(x)
+    assert np.array_equal(np.asarray(fr1), np.asarray(e24.exp_const(x, tw.p)))
+    assert np.array_equal(np.asarray(tw.frobenius_square(x)),
+                          np.asarray(tw.frobenius(fr1)))
+    fr4 = tw.frobenius_quad(x)
+    assert np.array_equal(
+        np.asarray(fr4),
+        np.asarray(tw.frobenius_square(tw.frobenius_square(x))))
+
+
+def test_e24_cyclotomic():
+    tw = get_tower24("bls24_315")
+    e24 = tw.e12
+    x = rand_e24(tw, 1, 5)
+    # project into the cyclotomic subgroup: y = x^((p^12-1)(p^4+1))
+    y = e24.mul(tw.conjugate(x), e24.inverse(x))
+    y = e24.mul(tw.frobenius_quad(y), y)
+    assert np.array_equal(np.asarray(tw.cyclotomic_square(y)),
+                          np.asarray(e24.square(y)))
+    one = e24.broadcast_to(e24.ones(), (1,))
+    assert np.array_equal(
+        np.asarray(e24.mul(y, tw.inverse_cyclotomic(y))), np.asarray(one))
