@@ -108,10 +108,20 @@ def map_to_curve_svdw(curve: Curve, u, svdw_key: str | None = None):
 
 def map_to_g1(name_or_spec, u) -> Affine:
     curve = _curve(name_or_spec)
+    if curve.spec.name in ("bls12_381_g1",):
+        from gnark_crypto_tpu.hashes import sswu
+        return sswu.map_to_curve_sswu(curve.fp, u, curve.spec.name)
     res = map_to_curve_svdw(curve, u)
     # bn254/grumpkin G1 cofactor is 1: no clearing needed (config
     # CofactorCleaning=false); curves needing it get it with their specs.
     return res
+
+
+def _clear_cofactor_g1(curve: Curve, pts: Affine) -> Affine:
+    if curve.spec.name == "bls12_381_g1":
+        from gnark_crypto_tpu.hashes import sswu
+        return sswu.clear_cofactor_g1_bls12_381(curve, pts)
+    return pts  # cofactor-1 curves (bn254, grumpkin, ...)
 
 
 def _curve(name_or_spec) -> Curve:
@@ -125,7 +135,8 @@ def encode_to_g1(name: str, msg: bytes, dst: bytes) -> Affine:
     """EncodeToG1 (hash_to_g1.go:24): one field element, non-uniform."""
     curve = _curve(name)
     u = hash_to_field(curve.spec.fp, msg, dst, 1)
-    return map_to_g1(curve.spec, curve.fp.from_int(u))
+    pt = map_to_g1(curve.spec, curve.fp.from_int(u))
+    return _clear_cofactor_g1(curve, pt)
 
 
 def hash_to_g1(name: str, msg: bytes, dst: bytes) -> Affine:
@@ -135,7 +146,7 @@ def hash_to_g1(name: str, msg: bytes, dst: bytes) -> Affine:
     pts = map_to_g1(curve.spec, curve.fp.from_int(u))
     q0 = Jac(*(c[:1] for c in curve.from_affine(pts)))
     q1 = Jac(*(c[1:] for c in curve.from_affine(pts)))
-    return curve.to_affine(curve.add(q0, q1))
+    return _clear_cofactor_g1(curve, curve.to_affine(curve.add(q0, q1)))
 
 
 # ---------------------------------------------------------------------------
@@ -163,9 +174,14 @@ def _psi(name: str, pts: Affine) -> Affine:
 
 def clear_cofactor_g2(name: str, pts: Affine) -> Affine:
     """bn254 G2 ClearCofactor (g2.go: Fuentes et al., cacr2011-26 §6.1):
-    [x]P + psi(3[x]P) + psi^2([x]P) + psi^3(P)."""
+    [x]P + psi(3[x]P) + psi^2([x]P) + psi^3(P).
+    bls12-381 uses the eprint 2017/419 §4.1 formula (sswu module)."""
     from gnark_crypto_tpu.curve.g2 import g2_curve
     from gnark_crypto_tpu.pairing.pairing12 import get_ctx
+
+    if name == "bls12_381":
+        from gnark_crypto_tpu.hashes import sswu
+        return sswu.clear_cofactor_g2_bls12_381(g2_curve(name), pts)
 
     g2 = g2_curve(name)
     ctx = get_ctx(name)
@@ -188,6 +204,9 @@ def map_to_g2(name: str, u) -> Affine:
     from gnark_crypto_tpu.curve.g2 import g2_curve
 
     g2 = g2_curve(name)
+    if name == "bls12_381":
+        from gnark_crypto_tpu.hashes import sswu
+        return sswu.map_to_curve_sswu(g2.fp, u, "bls12_381_g2")
     return map_to_curve_svdw(g2, u, svdw_key=f"{name}_g2")
 
 

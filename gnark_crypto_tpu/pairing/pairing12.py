@@ -78,6 +78,18 @@ class PairingCtx:
             # D-twist: b' = b / v = v^-1 = u*v/13 (bls24-315.go:113-115)
             self.b_twist = ((0, 0), (0, pow(13, -1, p)))
             self.twist_type = "D"
+        elif name == "bls24_317":
+            from gnark_crypto_tpu.towers.tower24 import get_tower24
+
+            self.tower = get_tower24(name)
+            self.family = "bls24"
+            self.seed = 3640754176        # x0 > 0 (bls24-317.go:149)
+            self.seed_neg = False
+            self.loop = naf(self.seed)
+            # M-twist: b' = b * v = 4v (bls24-317.go:99-101), as nested
+            # (B0, B1) E4 coordinates over E2
+            self.b_twist = ((0, 0), (4, 0))
+            self.twist_type = "M"
         elif name in ("bls12_381", "bls12_377"):
             self.tower = get_tower(name)
             self.family = "bls12"
@@ -188,12 +200,23 @@ class PairingCtx:
             c4 = self._scale_e2(r0, py)
             return self.tower.from_coeffs6([r2, c1, zero, zero, c4, zero])
 
-    # -- psi (untwist-Frobenius) endomorphism constants (bn only) -----------
+    # -- psi (untwist-Frobenius) endomorphism constants ---------------------
+    @functools.lru_cache(maxsize=None)
+    def _psi_dev(self, i: int):
+        """Device constant for psi: gamma1[i] for a D-twist, gamma1[i]^-1
+        for an M-twist (reference endo.u/v, bls12-381.go:141-144 — the
+        untwist map direction flips the sign of the xi exponent)."""
+        tw = self.tower
+        g = tw.g1[i]
+        if self.twist_type == "M":
+            g = _h2_inv(g, tw.p, tw.beta)
+        return tw.e2.from_int(g)
+
     def psi_coords(self, qx, qy):
-        """Q1 = pi(Q) coordinates (pairing.go:259-261)."""
-        tw, e2 = self.tower, self.tower.e2
-        g12 = e2.broadcast_to(tw._gdev(1, 2), e2.eshape(qx))
-        g13 = e2.broadcast_to(tw._gdev(1, 3), e2.eshape(qx))
+        """Q1 = pi(Q) coordinates (pairing.go:259-261; g2.go psi)."""
+        e2 = self.tower.e2
+        g12 = e2.broadcast_to(self._psi_dev(2), e2.eshape(qx))
+        g13 = e2.broadcast_to(self._psi_dev(3), e2.eshape(qx))
         return (e2.mul(e2.conjugate(qx), g12),
                 e2.mul(e2.conjugate(qy), g13))
 

@@ -26,49 +26,69 @@ from gnark_crypto_tpu.towers.engine import CubicExtEngine, QuadExtEngine
 from gnark_crypto_tpu.towers.tower12 import _h2_mul, _h2_pow
 
 
-# -- host-side exact Fp4 arithmetic (E2 pairs; v^2 = u, u^2 = beta) ----------
+# -- host-side exact Fp4 arithmetic (E2 pairs; v^2 = vsq, u^2 = beta) --------
 
-def _h4_mul(a, b, p, beta):
+def _h4_mul(a, b, p, beta, vsq=(0, 1)):
     a0, a1 = a
     b0, b1 = b
-    u_times = lambda x: ((beta * x[1]) % p, x[0])  # (x0 + x1 u) * u
     t0 = _h2_mul(a0, b0, p, beta)
-    t1 = _h2_mul(a1, b1, p, beta)
-    c0 = tuple((x + y) % p for x, y in zip(t0, u_times(t1)))
+    t1 = _h2_mul(_h2_mul(a1, b1, p, beta), vsq, p, beta)  # v^2 * a1 b1
+    c0 = tuple((x + y) % p for x, y in zip(t0, t1))
     c1 = tuple((x + y) % p for x, y in
                zip(_h2_mul(a0, b1, p, beta), _h2_mul(a1, b0, p, beta)))
     return (c0, c1)
 
 
-def _h4_pow(a, e, p, beta):
+def _h4_pow(a, e, p, beta, vsq=(0, 1)):
     r = ((1, 0), (0, 0))
     while e:
         if e & 1:
-            r = _h4_mul(r, a, p, beta)
-        a = _h4_mul(a, a, p, beta)
+            r = _h4_mul(r, a, p, beta, vsq)
+        a = _h4_mul(a, a, p, beta, vsq)
         e >>= 1
     return r
 
 
 class Tower24:
-    def __init__(self, name: str, fp_spec: FieldSpec, beta: int):
+    def __init__(self, name: str, fp_spec: FieldSpec, beta: int,
+                 v_sq=(0, 1)):
+        """``beta``: E2 non-residue (u^2 = beta); ``v_sq``: E4 non-residue as
+        an E2 pair (v^2 = v_sq). bls24-315: beta=13, v^2=u (e2.go:201);
+        bls24-317: beta=-1, v^2=1+u (e2_bls317.go:35 MulByNonResidue)."""
         self.name = name
         self.fp_spec = fp_spec
         self.p = fp_spec.modulus
         self.beta = beta
+        self.v_sq = v_sq
         self.fp: FieldEngine = for_spec(fp_spec)
         e2 = QuadExtEngine(self.fp, beta, tag=f"{name}_e2")
 
-        def mul_by_u(a, _b=e2):
-            a0, a1 = _b.coeff(a, 0), _b.coeff(a, 1)
-            return _b.build([_b.mul_by_nr(a1), a0])
+        if v_sq == (0, 1):
+            def mul_by_vsq(a, _b=e2):
+                # (a0 + a1 u) * u = beta*a1 + a0 u
+                a0, a1 = _b.coeff(a, 0), _b.coeff(a, 1)
+                return _b.build([_b.mul_by_nr(a1), a0])
+        elif v_sq == (1, 1):
+            _beta = beta
 
-        e4 = QuadExtEngine(e2, (0, 1), mul_by_nr=mul_by_u, tag=f"{name}_e4")
+            def mul_by_vsq(a, _b=e2):
+                # (a0 + a1 u) * (1 + u) = (a0 + beta*a1) + (a0 + a1) u
+                f = _b.base
+                a0, a1 = _b.coeff(a, 0), _b.coeff(a, 1)
+                b_a1 = f.neg(a1) if _beta == -1 else f.mul_const(a1, _beta)
+                return _b.build([f.add(a0, b_a1), f.add(a0, a1)])
+        else:
+            _vsq_dev = e2.from_int(v_sq)
+
+            def mul_by_vsq(a, _b=e2):
+                return _b.mul(a, _b.broadcast_to(_vsq_dev, _b.eshape(a)))
+
+        e4 = QuadExtEngine(e2, v_sq, mul_by_nr=mul_by_vsq, tag=f"{name}_e4")
 
         def mul_by_v(a, _b=e4):
-            # (A0 + A1 v) * v = u*A1 + A0 v  (A_i in E2)
+            # (A0 + A1 v) * v = v_sq*A1 + A0 v  (A_i in E2)
             a0, a1 = _b.coeff(a, 0), _b.coeff(a, 1)
-            return _b.build([mul_by_u(a1), a0])
+            return _b.build([mul_by_vsq(a1), a0])
 
         e12 = CubicExtEngine(e4, ((0, 0), (1, 0)), mul_by_nr=mul_by_v,
                              tag=f"{name}_e12")
@@ -89,7 +109,7 @@ class Tower24:
         return self._mul_by_v(a)
 
     def _precompute_frobenius(self):
-        p, beta = self.p, self.beta
+        p, beta, vsq = self.p, self.beta, self.v_sq
         v = ((0, 0), (1, 0))  # v as E4 element
         u = ((0, 1), (0, 0))
         uv = ((0, 0), (0, 1))
@@ -97,14 +117,14 @@ class Tower24:
         self.basis_imgs = {}
         for j in (1, 2, 3, 4):
             pj = p ** j
-            self.g[j] = [_h4_pow(v, e * (pj - 1) // 6, p, beta)
+            self.g[j] = [_h4_pow(v, e * (pj - 1) // 6, p, beta, vsq)
                          for e in range(6)]
             # p^j-power images of the E4 basis (1, u, v, uv)
             self.basis_imgs[j] = [
                 ((1, 0), (0, 0)),
-                _h4_pow(u, pj, p, beta),
-                _h4_pow(v, pj, p, beta),
-                _h4_pow(uv, pj, p, beta),
+                _h4_pow(u, pj, p, beta, vsq),
+                _h4_pow(v, pj, p, beta, vsq),
+                _h4_pow(uv, pj, p, beta, vsq),
             ]
 
     @functools.lru_cache(maxsize=None)
@@ -240,9 +260,6 @@ def get_tower24(name: str) -> Tower24:
         # fptower e2.go:201 — u^2 = 13
         return Tower24("bls24_315", fs.BLS24_315_FP, 13)
     if name == "bls24_317":
-        return Tower24("bls24_317", fs.BLS24_317_FP, _beta_317())
+        # fptower e2_bls317.go: u^2 = -1; e2_bls317.go:35 v^2 = 1+u
+        return Tower24("bls24_317", fs.BLS24_317_FP, -1, v_sq=(1, 1))
     raise KeyError(name)
-
-
-def _beta_317():
-    raise NotImplementedError("bls24-317 tower lands with its pairing")

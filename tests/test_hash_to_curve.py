@@ -83,3 +83,48 @@ def test_hash_to_g2_vectors():
         got_y = g2.fp.to_int(pt.y)
         assert (got_x[0][0], got_x[1][0]) == px, msg
         assert (got_y[0][0], got_y[1][0]) == py, msg
+
+
+# ---------------------------------------------------------------------------
+# bls12-381 SSWU (RFC 9380 suites BLS12381G1/G2_XMD:SHA-256_SSWU_RO_;
+# vectors from /root/reference/ecc/bls12-381/hash_vectors_test.go)
+# ---------------------------------------------------------------------------
+
+BLS_G1_DST = b"QUUX-V01-CS02-with-BLS12381G1_XMD:SHA-256_SSWU_RO_"
+BLS_G1_CASES = [
+    (b"",
+     (0x052926add2207b76ca4fa57a8734416c8dc95e24501772c814278700eed6d1e4e8cf62d9c09db0fac349612b759e79a1,
+      0x08ba738453bfed09cb546dbb0783dbb3a5f1f566ed67bb6be0e8c67e2e81a4cc68ee29813bb7994998f3eae0c9c6a265)),
+    (b"abc",
+     (0x03567bc5ef9c690c2ab2ecdf6a96ef1c139cc0b2f284dca0a9a7943388a49a3aee664ba5379a7655d3c68900be2f6903,
+      0x0b9c15f3fe6e5cf4211f346271d7b01c8f3b28be689c8429c85b67af215533311f0b8dfaaa154fa6b88176c229f2885d)),
+]
+
+BLS_G2_DST = b"QUUX-V01-CS02-with-BLS12381G2_XMD:SHA-256_SSWU_RO_"
+BLS_G2_CASES = [
+    (b"abc",
+     ((0x02c2d18e033b960562aae3cab37a27ce00d80ccd5ba4b7fe0e7a210245129dbec7780ccc7954725f4168aff2787776e6,
+       0x139cddbccdc5e91b9623efd38c49f81a6f83f175e80b06fc374de9eb4b41dfe4ca3a230ed250fbe3a2acf73a41177fd8),
+      (0x1787327b68159716a37440985269cf584bcb1e621d3a7202be6ea05c4cfe244aeb197642555a0645fb87bf7466b2ba48,
+       0x00aa65dae3c8d732d10ecd2c50f8a1baf3001578f71c694e03866e9f3d49ac1e1ce70dd94a733534f106d4cec0eddd16))),
+]
+
+
+def test_bls12_381_hash_to_g1_vectors():
+    curve = curve_ops(cs.get_curve("bls12_381_g1"))
+    for msg, (px, py) in BLS_G1_CASES:
+        pt = h2c.hash_to_g1("bls12_381", msg, BLS_G1_DST)
+        assert int(curve.fp.to_int(pt.x)[0]) == px, msg
+        assert int(curve.fp.to_int(pt.y)[0]) == py, msg
+
+
+def test_bls12_381_hash_to_g2_vectors():
+    from gnark_crypto_tpu.curve.g2 import g2_curve
+
+    g2 = g2_curve("bls12_381")
+    for msg, (px, py) in BLS_G2_CASES:
+        pt = h2c.hash_to_g2("bls12_381", msg, BLS_G2_DST)
+        got_x = g2.fp.to_int(pt.x)
+        got_y = g2.fp.to_int(pt.y)
+        assert (got_x[0][0], got_x[1][0]) == px, msg
+        assert (got_y[0][0], got_y[1][0]) == py, msg

@@ -89,8 +89,8 @@ def test_pairing_check_and_infinity():
     assert bool(np.asarray(e12.equal(lhs, e12.ones())))
 
 
-def test_bls24_315_pairing_bilinear():
-    name = "bls24_315"
+@pytest.mark.parametrize("name", ["bls24_315", "bls24_317"])
+def test_bls24_pairing_bilinear(name):
     g1 = g1_curve(name)
     g2 = g2_curve(name)
     ctx = pairing12.get_ctx(name)

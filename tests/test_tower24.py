@@ -1,4 +1,4 @@
-"""BLS24-315 tower algebra: field laws, Frobenius maps, cyclotomic ops."""
+"""BLS24 tower algebra: field laws, Frobenius maps, cyclotomic ops."""
 
 import random
 
@@ -22,8 +22,9 @@ def rand_e24(tw, n, seed):
     return jnp.stack([tw.e12.from_int(v) for v in vals])
 
 
-def test_e24_field_laws():
-    tw = get_tower24("bls24_315")
+@pytest.mark.parametrize("name", ["bls24_315", "bls24_317"])
+def test_e24_field_laws(name):
+    tw = get_tower24(name)
     e24 = tw.e12
     x = rand_e24(tw, 2, 1)
     y = rand_e24(tw, 2, 2)
@@ -35,8 +36,9 @@ def test_e24_field_laws():
                           np.asarray(one))
 
 
-def test_e24_frobenius():
-    tw = get_tower24("bls24_315")
+@pytest.mark.parametrize("name", ["bls24_315", "bls24_317"])
+def test_e24_frobenius(name):
+    tw = get_tower24(name)
     e24 = tw.e12
     x = rand_e24(tw, 1, 4)
     fr1 = tw.frobenius(x)
