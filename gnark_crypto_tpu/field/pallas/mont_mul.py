@@ -32,26 +32,9 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _kernel_body(spec: FieldSpec, l_pad: int, x_ref, y_ref, q_ref, o_ref):
-    b = spec.limb_bits
-    L = spec.n_limbs
-    mask = spec.mask
-    qinv = spec.qinv_neg
-    q_col = q_ref[:]  # (L_pad, TILE) broadcast limb column of q
-
-    x = x_ref[:]
-    y = y_ref[:]
-    t = jnp.zeros_like(x)
-    zero_row = jnp.zeros((1, x.shape[1]), jnp.int32)
-    for i in range(L):
-        xi = x[i : i + 1, :]
-        t = t + xi * y
-        m = (t[0:1, :] * qinv) & mask
-        t = t + m * q_col
-        carry = t[0:1, :] >> b
-        t = jnp.concatenate([t[1:], zero_row], axis=0)
-        t = jnp.concatenate([t[0:1] + carry, t[1:]], axis=0)
-    # full carry propagation (L_pad rows; rows >= L absorb the top carry)
+def _carry_rows(t, l_pad, b, mask):
+    """Full carry propagation over the (l_pad, TILE) limb rows (signed lazy
+    carries: arithmetic >> floors, so negative interim limbs work)."""
     rows = [t[i, :] for i in range(l_pad)]
     c = jnp.zeros_like(rows[0])
     norm = []
@@ -59,18 +42,62 @@ def _kernel_body(spec: FieldSpec, l_pad: int, x_ref, y_ref, q_ref, o_ref):
         v = rows[i] + c
         norm.append(v & mask)
         c = v >> b
-    t = jnp.stack(norm, axis=0)
-    # conditional subtract q: compute t - q with borrow chain, select
+    return jnp.stack(norm, axis=0), c
+
+
+def _cond_sub_q(t, q_col, l_pad, b, mask):
+    """t - q with borrow chain; keep t where it would underflow."""
     d = t - q_col
-    c = jnp.zeros_like(rows[0])
-    dn = []
-    for i in range(l_pad):
-        v = d[i, :] + c
-        dn.append(v & mask)
-        c = v >> b
-    under = c < 0
-    dnorm = jnp.stack(dn, axis=0)
-    o_ref[:] = jnp.where(under[None, :], t, dnorm)
+    dnorm, c = _carry_rows(d, l_pad, b, mask)
+    return jnp.where((c < 0)[None, :], t, dnorm)
+
+
+def _mm_tile(spec: FieldSpec, l_pad: int, x, y, q_col):
+    """Montgomery product of two (l_pad, TILE) limb tiles (in-kernel).
+
+    The operand scan runs as a lax.fori_loop (not unrolled): Mosaic compile
+    time scales with instruction count, and the unrolled 22-iteration CIOS
+    at wide tiles pushed whole-NTT compiles past 10 minutes.
+    """
+    b = spec.limb_bits
+    L = spec.n_limbs
+    mask = spec.mask
+    qinv = spec.qinv_neg
+    zero_row = jnp.zeros((1, x.shape[1]), jnp.int32)
+
+    def body(i, carry_in):
+        t, xr = carry_in
+        xi = xr[0:1, :]  # current limb row (x rotates up each iteration —
+        # Mosaic has no dynamic value slicing, so index by rotation)
+        t = t + xi * y
+        m = (t[0:1, :] * qinv) & mask
+        t = t + m * q_col
+        carry = t[0:1, :] >> b
+        t = jnp.concatenate([t[1:], zero_row], axis=0)
+        t = jnp.concatenate([t[0:1] + carry, t[1:]], axis=0)
+        xr = jnp.concatenate([xr[1:], xr[0:1]], axis=0)
+        return t, xr
+
+    t, _ = jax.lax.fori_loop(0, L, body, (jnp.zeros_like(x), x))
+    # full carry propagation (l_pad rows; rows >= L absorb the top carry)
+    t, _ = _carry_rows(t, l_pad, b, spec.mask)
+    return _cond_sub_q(t, q_col, l_pad, b, mask)
+
+
+def _add_tile(spec: FieldSpec, l_pad: int, x, y, q_col):
+    """Modular add of two canonical (l_pad, TILE) limb tiles."""
+    t, _ = _carry_rows(x + y, l_pad, spec.limb_bits, spec.mask)
+    return _cond_sub_q(t, q_col, l_pad, spec.limb_bits, spec.mask)
+
+
+def _sub_tile(spec: FieldSpec, l_pad: int, x, y, q_col):
+    """Modular subtract (x - y) of canonical (l_pad, TILE) limb tiles."""
+    t, _ = _carry_rows(x + q_col - y, l_pad, spec.limb_bits, spec.mask)
+    return _cond_sub_q(t, q_col, l_pad, spec.limb_bits, spec.mask)
+
+
+def _kernel_body(spec: FieldSpec, l_pad: int, x_ref, y_ref, q_ref, o_ref):
+    o_ref[:] = _mm_tile(spec, l_pad, x_ref[:], y_ref[:], q_ref[:])
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))

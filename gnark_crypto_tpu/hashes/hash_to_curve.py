@@ -127,7 +127,9 @@ def _clear_cofactor_g1(curve: Curve, pts: Affine) -> Affine:
 def _curve(name_or_spec) -> Curve:
     if isinstance(name_or_spec, CurveSpec):
         return curve_ops(name_or_spec)
-    from gnark_crypto_tpu.specs.curve import get_curve
+    from gnark_crypto_tpu.specs.curve import all_curves, get_curve
+    if name_or_spec not in all_curves():
+        name_or_spec = f"{name_or_spec}_g1"  # "bls12_381" -> its G1 group
     return curve_ops(get_curve(name_or_spec))
 
 

@@ -183,6 +183,30 @@ def _use_staged(domain: Domain, a) -> bool:
     return _jax.default_backend() == "tpu"
 
 
+def _use_pallas(domain: Domain, a) -> bool:
+    import jax as _jax
+
+    if _jax.default_backend() != "tpu":
+        return False
+    from gnark_crypto_tpu.ntt import pallas_ntt
+    return pallas_ntt.supported(domain, a)
+
+
+def _run(domain: Domain, a, decimation: Decimation, inverse: bool):
+    """Stage dispatcher: Pallas passes on TPU (multi-limb), gather-stage
+    kernels otherwise on TPU, fused XLA graph on CPU."""
+    if _use_pallas(domain, a):
+        from gnark_crypto_tpu.ntt import pallas_ntt
+        return pallas_ntt.run_stages_pallas(domain, a, decimation, inverse)
+    if _use_staged(domain, a):
+        return _run_stages(domain, a, decimation, inverse)
+    eng = domain.eng
+    tw = lambda s: domain.stage_twiddles(s, inverse=inverse)
+    if decimation == DIF:
+        return _dif_stages(eng, a, tw, domain.k)
+    return _dit_stages(eng, a, tw, domain.k)
+
+
 def fft(domain: Domain, a: jax.Array, decimation: Decimation = DIF,
         coset: bool = False) -> jax.Array:
     """Forward NTT; layout conventions as in the module docstring."""
@@ -194,12 +218,7 @@ def fft(domain: Domain, a: jax.Array, decimation: Decimation = DIF,
         if decimation == DIT:
             table = bit_reverse(table)
         a = eng.mul(a, table)
-    if _use_staged(domain, a):
-        return _run_stages(domain, a, decimation, inverse=False)
-    tw = lambda s: domain.stage_twiddles(s, inverse=False)
-    if decimation == DIF:
-        return _dif_stages(eng, a, tw, domain.k)
-    return _dit_stages(eng, a, tw, domain.k)
+    return _run(domain, a, decimation, inverse=False)
 
 
 def fft_inverse(domain: Domain, a: jax.Array, decimation: Decimation = DIF,
@@ -208,14 +227,7 @@ def fft_inverse(domain: Domain, a: jax.Array, decimation: Decimation = DIF,
     eng = domain.eng
     n = domain.n
     assert a.shape[0] == n
-    if _use_staged(domain, a):
-        a = _run_stages(domain, a, decimation, inverse=True)
-    else:
-        tw = lambda s: domain.stage_twiddles(s, inverse=True)
-        if decimation == DIF:
-            a = _dif_stages(eng, a, tw, domain.k)
-        else:
-            a = _dit_stages(eng, a, tw, domain.k)
+    a = _run(domain, a, decimation, inverse=True)
     card_inv = eng.broadcast_to(domain.cardinality_inv, (1,))
     if not coset:
         return eng.mul(a, card_inv)

@@ -100,7 +100,7 @@ class Tower24:
         self.e2 = e4
         self.e6 = e12
         self.e12 = e24
-        self._mul_by_u = mul_by_u
+        self._mul_by_vsq = mul_by_vsq
         self._mul_by_v = mul_by_v
         self._precompute_frobenius()
 

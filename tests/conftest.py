@@ -10,6 +10,18 @@ jax.config.update('jax_platforms', ...) is authoritative.
 """
 
 import os
+import resource
+
+# Raise the stack soft-limit BEFORE jax/XLA initializes its thread pools:
+# the recurring segfault inside backend_compile on very large scan bodies
+# (pairing exp_cyclotomic: thousands-of-ops loop body) is consistent with
+# LLVM stack exhaustion during deeply recursive passes; pthread stacks size
+# from the soft rlimit at thread creation.
+try:
+    resource.setrlimit(resource.RLIMIT_STACK,
+                       (512 << 20, resource.RLIM_INFINITY))
+except (ValueError, OSError):
+    pass
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -19,6 +31,11 @@ if "parallel_codegen" not in flags:
     # process while compiling large scan bodies (observed in backend_compile
     # on pairing/scalar-mul programs)
     flags += " --xla_cpu_parallel_codegen_split_count=1"
+if "optimization_level" not in flags:
+    # O1: the recurring backend_compile segfault on very large scan bodies
+    # (pairing exp_cyclotomic) lives in an O2 LLVM pass; O1 also cuts
+    # compile time for the hundreds of heavy programs in this suite
+    flags += " --xla_backend_optimization_level=1"
 os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402

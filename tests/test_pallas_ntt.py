@@ -1,0 +1,41 @@
+"""Pallas NTT passes (interpret mode) vs the XLA reference path."""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnark_crypto_tpu.field.api import for_spec
+from gnark_crypto_tpu.ntt import fft as fft_mod
+from gnark_crypto_tpu.ntt.domain import Domain
+from gnark_crypto_tpu.ntt.pallas_ntt import run_stages_pallas
+from gnark_crypto_tpu.specs import field as fs
+
+N = 512  # k=9: two tile-aligned stages (half=256,128) + full 7-stage tail
+
+
+@pytest.fixture(scope="module")
+def dom():
+    return Domain(fs.BN254_FR, N)
+
+
+@pytest.fixture(scope="module")
+def data(dom):
+    eng = for_spec(fs.BN254_FR)
+    rng = random.Random(7)
+    vals = [rng.randrange(fs.BN254_FR.modulus) for _ in range(N)]
+    return eng.from_int(vals)
+
+
+@pytest.mark.parametrize("decimation", ["DIF", "DIT"])
+@pytest.mark.parametrize("inverse", [False, True])
+def test_pallas_stages_match_xla(dom, data, decimation, inverse):
+    eng = dom.eng
+    tw = lambda s: dom.stage_twiddles(s, inverse=inverse)
+    if decimation == "DIF":
+        ref = fft_mod._dif_stages(eng, data, tw, dom.k)
+    else:
+        ref = fft_mod._dit_stages(eng, data, tw, dom.k)
+    got = run_stages_pallas(dom, data, decimation, inverse, interpret=True)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
