@@ -13,11 +13,29 @@ when real reference numbers are measured.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
+# Persistent compile cache (TPU executables only — this is safe; the
+# documented segfault is in the CPU backend's AOT loader, see
+# tests/conftest.py). The Pallas NTT pipeline costs ~30-60 s to compile
+# cold; a primed cache makes bench startup seconds instead.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_tpu_cache"))
+
 GNARK_FFT_2_20_ELEMS_PER_SEC = 5.2e7  # documented anchor, see docstring
+
+
+def _enable_cache():
+    import jax
+
+    if jax.default_backend() == "tpu":
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def bench_ntt(n=1 << 20, iters=3):
@@ -67,6 +85,7 @@ def bench_f31_ntt(n=1 << 20, iters=3):
 
 
 def main():
+    _enable_cache()
     ntt_rate, ntt_dt = bench_ntt()
     try:
         f31_rate, f31_dt = bench_f31_ntt()

@@ -246,6 +246,23 @@ class Curve:
         bits = self.scalar_bits(k, nbits)
         acc0 = self.inf_jac(f.eshape(p.x))
 
+        from gnark_crypto_tpu.utils import hostloop
+        if not hostloop.is_tracing(p, k):
+            # eager: the bit matrix is concrete — dispatch two small jitted
+            # kernels per bit row instead of compiling one giant fused scan
+            # (XLA:CPU segfaults on very large scan bodies, hostloop.py)
+            import numpy as np
+
+            dbl, dbl_add = _ladder_ops(self)
+            rows = np.asarray(bits)
+            acc = acc0
+            for row in rows:
+                if row.max() == 0:
+                    acc = dbl(acc)
+                else:
+                    acc = dbl_add(acc, p, jnp.asarray(row))
+            return acc
+
         def body(acc, bit):
             acc = self.double(acc)
             added = self.add(acc, p)
@@ -257,6 +274,18 @@ class Curve:
 
 def _sel(f: FieldEngine, cond, a, b):
     return type(a)(*(f.where(cond, xa, xb) for xa, xb in zip(a, b)))
+
+
+@functools.lru_cache(maxsize=None)
+def _ladder_ops(curve: "Curve"):
+    """Jitted (double, double-then-masked-add) kernels for eager ladders."""
+    dbl = jax.jit(curve.double)
+
+    def _dbl_add(acc, p, bit_row):
+        acc = curve.double(acc)
+        return _sel(curve.fp, bit_row == 1, curve.add(acc, p), acc)
+
+    return dbl, jax.jit(_dbl_add)
 
 
 @functools.lru_cache(maxsize=None)

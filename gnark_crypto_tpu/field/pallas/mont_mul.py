@@ -65,20 +65,25 @@ def _mm_tile(spec: FieldSpec, l_pad: int, x, y, q_col):
     qinv = spec.qinv_neg
     zero_row = jnp.zeros((1, x.shape[1]), jnp.int32)
 
+    unroll = 2
+    assert L % unroll == 0, "limb count must divide the CIOS unroll factor"
+
     def body(i, carry_in):
         t, xr = carry_in
-        xi = xr[0:1, :]  # current limb row (x rotates up each iteration —
-        # Mosaic has no dynamic value slicing, so index by rotation)
-        t = t + xi * y
-        m = (t[0:1, :] * qinv) & mask
-        t = t + m * q_col
-        carry = t[0:1, :] >> b
-        t = jnp.concatenate([t[1:], zero_row], axis=0)
-        t = jnp.concatenate([t[0:1] + carry, t[1:]], axis=0)
-        xr = jnp.concatenate([xr[1:], xr[0:1]], axis=0)
+        for u in range(unroll):
+            xi = xr[u:u + 1, :]  # current limb row (x rotates up per
+            # iteration — Mosaic has no dynamic value slicing)
+            t = t + xi * y
+            m = (t[0:1, :] * qinv) & mask
+            t = t + m * q_col
+            carry = t[0:1, :] >> b
+            t = jnp.concatenate([t[1:], zero_row], axis=0)
+            t = jnp.concatenate([t[0:1] + carry, t[1:]], axis=0)
+        xr = jnp.concatenate([xr[unroll:], xr[:unroll]], axis=0)
         return t, xr
 
-    t, _ = jax.lax.fori_loop(0, L, body, (jnp.zeros_like(x), x))
+    t, _ = jax.lax.fori_loop(0, L // unroll, body,
+                             (jnp.zeros_like(x), x))
     # full carry propagation (l_pad rows; rows >= L absorb the top carry)
     t, _ = _carry_rows(t, l_pad, b, spec.mask)
     return _cond_sub_q(t, q_col, l_pad, b, mask)

@@ -233,6 +233,29 @@ def get_ctx(name: str) -> PairingCtx:
     return PairingCtx(name)
 
 
+@functools.lru_cache(maxsize=None)
+def _miller_kernels(ctx: PairingCtx):
+    """Jitted (double-step, add-step) kernels for the eager Miller ladder."""
+    tw = ctx.tower
+    e12 = tw.e12
+
+    def _lv(facc, line, px, py, infm):
+        lv = ctx.line_value(line, px, py)
+        ones = e12.broadcast_to(e12.ones(), e12.eshape(lv))
+        return e12.mul(facc, e12.where(infm, ones, lv))
+
+    def dbl(facc, qp, px, py, infm):
+        facc = e12.square(facc)
+        qp, line = ctx.double_step(qp)
+        return _lv(facc, line, px, py, infm), qp
+
+    def add(facc, qp, ax, ay, px, py, infm):
+        qp, line = ctx.add_mixed_step(qp, ax, ay)
+        return _lv(facc, line, px, py, infm), qp
+
+    return jax.jit(dbl), jax.jit(add)
+
+
 def miller_loop(ctx: PairingCtx, P: Affine, QX, QY):
     """Batched multi-Miller loop: returns the product over all pairs.
 
@@ -259,26 +282,41 @@ def miller_loop(ctx: PairingCtx, P: Affine, QX, QY):
         return e12.mul(facc, lv)
 
     digits = ctx.loop
-    # MSB is digits[-1] == 1; standard ladder over remaining digits, as a
-    # lax.scan over the (static) digit array so the graph is O(1) in loop
-    # length. The add-branch runs every iteration but is select-masked —
-    # the TPU trade: ~30% redundant lane work for constant control flow.
-    dig_arr = jnp.asarray(digits[-2::-1], jnp.int32)
+    from gnark_crypto_tpu.utils import hostloop
+    if not hostloop.is_tracing(P, QX, QY):
+        # eager: digits are static Python ints — dispatch two small jitted
+        # step kernels per digit and branch on the digit in Python (avoids
+        # the giant fused scan body that segfaults XLA:CPU, hostloop.py;
+        # also skips the masked add work on zero digits entirely)
+        dblk, addk = _miller_kernels(ctx)
+        qp = q
+        for d in digits[-2::-1]:
+            facc, qp = dblk(facc, qp, P.x, P.y, inf_mask)
+            if d != 0:
+                ay = q_neg_y if d == -1 else QY
+                facc, qp = addk(facc, qp, QX, ay, P.x, P.y, inf_mask)
+    else:
+        # traced: lax.scan over the (static) digit array so the graph is
+        # O(1) in loop length. The add-branch runs every iteration but is
+        # select-masked — ~30% redundant lane work for constant control
+        # flow (MSB is digits[-1] == 1).
+        dig_arr = jnp.asarray(digits[-2::-1], jnp.int32)
 
-    def body(state, d):
-        facc, qp = state
-        facc = e12.square(facc)
-        qp, line = ctx.double_step(qp)
-        facc = line_mul(facc, line)
-        ay = e2.where(d == -1, q_neg_y, QY)
-        qp_add, line_add = ctx.add_mixed_step(qp, QX, ay)
-        has_add = d != 0
-        facc_add = line_mul(facc, line_add)
-        facc = e12.where(has_add, facc_add, facc)
-        qp = G2Proj(*(e2.where(has_add, a, b) for a, b in zip(qp_add, qp)))
-        return (facc, qp), None
+        def body(state, d):
+            facc, qp = state
+            facc = e12.square(facc)
+            qp, line = ctx.double_step(qp)
+            facc = line_mul(facc, line)
+            ay = e2.where(d == -1, q_neg_y, QY)
+            qp_add, line_add = ctx.add_mixed_step(qp, QX, ay)
+            has_add = d != 0
+            facc_add = line_mul(facc, line_add)
+            facc = e12.where(has_add, facc_add, facc)
+            qp = G2Proj(*(e2.where(has_add, a, b)
+                          for a, b in zip(qp_add, qp)))
+            return (facc, qp), None
 
-    (facc, qp), _ = jax.lax.scan(body, (facc, q), dig_arr)
+        (facc, qp), _ = jax.lax.scan(body, (facc, q), dig_arr)
 
     if ctx.family == "bn":
         # terminal lines with Q1 = pi(Q), Q2 = -pi^2(Q) (pairing.go:256-286)

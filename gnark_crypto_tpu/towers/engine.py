@@ -132,6 +132,10 @@ class ExtEngine:
     def exp_const(self, x, e: int):
         if e == 0:
             return self.broadcast_to(self.ones(), self.eshape(x))
+        from gnark_crypto_tpu.utils import hostloop
+        if not hostloop.is_tracing(x):
+            # eager: host ladder of small jitted kernels (utils/hostloop.py)
+            return hostloop.exp_ladder(self.square, self.mul, x, e)
         nbits = e.bit_length()
         bits = jnp.asarray(
             [(e >> (nbits - 1 - i)) & 1 for i in range(nbits)], jnp.int32)

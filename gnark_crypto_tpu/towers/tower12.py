@@ -188,6 +188,11 @@ class Tower12:
         e12 = self.e12
         if e == 0:
             return e12.broadcast_to(e12.ones(), e12.eshape(x))
+        from gnark_crypto_tpu.utils import hostloop
+        if not hostloop.is_tracing(x):
+            # eager: host-dispatched ladder of two small kernels (avoids the
+            # giant fused scan body, see utils/hostloop.py)
+            return hostloop.exp_ladder(self.cyclotomic_square, e12.mul, x, e)
         nbits = e.bit_length()
         bits = jnp.asarray([(e >> (nbits - 2 - i)) & 1
                             for i in range(nbits - 1)], jnp.int32)

@@ -220,6 +220,9 @@ class Tower24:
         e24 = self.e12
         if e == 0:
             return e24.broadcast_to(e24.ones(), e24.eshape(x))
+        from gnark_crypto_tpu.utils import hostloop
+        if not hostloop.is_tracing(x):
+            return hostloop.exp_ladder(self.cyclotomic_square, e24.mul, x, e)
         nbits = e.bit_length()
         bits = jnp.asarray([(e >> (nbits - 2 - i)) & 1
                             for i in range(nbits - 1)], jnp.int32)
