@@ -183,21 +183,26 @@ def _use_staged(domain: Domain, a) -> bool:
     return _jax.default_backend() == "tpu"
 
 
-def _use_pallas(domain: Domain, a) -> bool:
+def _use_pallas(domain: Domain, a):
+    """Returns the Pallas runner for this engine/shape on TPU, else None."""
     import jax as _jax
 
     if _jax.default_backend() != "tpu":
-        return False
-    from gnark_crypto_tpu.ntt import pallas_ntt
-    return pallas_ntt.supported(domain, a)
+        return None
+    from gnark_crypto_tpu.ntt import pallas_ntt, pallas_ntt_f31
+    if pallas_ntt.supported(domain, a):
+        return pallas_ntt.run_stages_pallas
+    if pallas_ntt_f31.supported(domain, a):
+        return pallas_ntt_f31.run_stages_pallas_f31
+    return None
 
 
 def _run(domain: Domain, a, decimation: Decimation, inverse: bool):
-    """Stage dispatcher: Pallas passes on TPU (multi-limb), gather-stage
-    kernels otherwise on TPU, fused XLA graph on CPU."""
-    if _use_pallas(domain, a):
-        from gnark_crypto_tpu.ntt import pallas_ntt
-        return pallas_ntt.run_stages_pallas(domain, a, decimation, inverse)
+    """Stage dispatcher: Pallas passes on TPU (multi-limb + f31),
+    gather-stage kernels otherwise on TPU, fused XLA graph on CPU."""
+    runner = _use_pallas(domain, a)
+    if runner is not None:
+        return runner(domain, a, decimation, inverse)
     if _use_staged(domain, a):
         return _run_stages(domain, a, decimation, inverse)
     eng = domain.eng

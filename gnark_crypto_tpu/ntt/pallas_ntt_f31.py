@@ -1,0 +1,266 @@
+"""Pallas TPU NTT for the 31-bit fields (koalabear/babybear).
+
+Counterpart of the reference's F31 AVX-512 FFT kernels
+(``field/generator/asm/amd64/element_vec_F31.go`` innerDIF/innerDIT): one
+uint32 lane per element, radix-2^32 Montgomery arithmetic synthesized from
+16-bit half products (field/f31.py semantics, bit-identical).
+
+Layout: the flat (n,) array becomes (8, W) COLUMN-major (element i at
+row i%8, lane i//8, W = n/8). Consequences:
+  * stages with half >= 8*128 lanes are lane-tile aligned -> one
+    pallas_call per stage, operands addressed by index_map;
+  * ALL remaining stages (half = 512 .. 1, ten of them at large n) fuse
+    into ONE pass: lane rotations for half in [8, 512] (lane stride
+    half/8 in [1, 64]) and sublane rotations for half in {1, 2, 4} — the
+    whole tail runs VMEM-resident per tile.
+
+Stage order/twiddle indexing matches fft._run_stages exactly (DIF:
+ascending stages, (a+b, (a-b)w); DIT: descending, (a+wb, a-wb)).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gnark_crypto_tpu.specs.field import FieldSpec
+
+LANES = 128
+ROWS = 8
+TILE_W = 2048  # lanes per grid step
+
+U32 = jnp.uint32
+
+
+# -- in-kernel field ops (mirror field/f31.py exactly) -----------------------
+
+def _mul_wide(a, b):
+    a0 = a & 0xFFFF
+    a1 = a >> 16
+    b0 = b & 0xFFFF
+    b1 = b >> 16
+    p00 = a0 * b0
+    mid = a1 * b0 + a0 * b1 + (p00 >> 16)
+    hi = a1 * b1 + (mid >> 16)
+    lo = (mid << 16) | (p00 & 0xFFFF)
+    return hi, lo
+
+
+def _mmul(spec: FieldSpec, x, y):
+    q = np.uint32(spec.modulus)
+    qinv = np.uint32(spec.qinv_neg)
+    t_hi, t_lo = _mul_wide(x, y)
+    m = t_lo * qinv
+    mq_hi, _ = _mul_wide(m, q)
+    carry = (t_lo != 0).astype(U32)
+    r = t_hi + mq_hi + carry
+    return jnp.where(r >= q, r - q, r)
+
+
+def _madd(spec: FieldSpec, x, y):
+    q = np.uint32(spec.modulus)
+    s = x + y
+    return jnp.where(s >= q, s - q, s)
+
+
+def _msub(spec: FieldSpec, x, y):
+    q = np.uint32(spec.modulus)
+    d = x + q - y
+    return jnp.where(d >= q, d - q, d)
+
+
+def _roll_lane_l(x, h):
+    return jnp.concatenate([x[:, h:], x[:, :h]], axis=1)
+
+
+def _roll_lane_r(x, h):
+    return jnp.concatenate([x[:, -h:], x[:, :-h]], axis=1)
+
+
+def _roll_row_l(x, h):
+    return jnp.concatenate([x[h:, :], x[:h, :]], axis=0)
+
+
+def _roll_row_r(x, h):
+    return jnp.concatenate([x[-h:, :], x[:-h, :]], axis=0)
+
+
+# -- big lane-stride stage (half/8 >= tile lanes) ----------------------------
+
+def _stage_kernel(spec, hb, dif, x_lo_ref, x_hi_ref, tw_ref, o_ref):
+    is_lo = (pl.program_id(0) % (2 * hb)) < hb
+    if dif:
+        @pl.when(is_lo)
+        def _():
+            o_ref[:] = _madd(spec, x_lo_ref[:], x_hi_ref[:])
+
+        @pl.when(jnp.logical_not(is_lo))
+        def _():
+            d = _msub(spec, x_lo_ref[:], x_hi_ref[:])
+            o_ref[:] = _mmul(spec, d, tw_ref[:])
+    else:
+        t = _mmul(spec, x_hi_ref[:], tw_ref[:])
+
+        @pl.when(is_lo)
+        def _():
+            o_ref[:] = _madd(spec, x_lo_ref[:], t)
+
+        @pl.when(jnp.logical_not(is_lo))
+        def _():
+            o_ref[:] = _msub(spec, x_lo_ref[:], t)
+
+
+def _big_stage(spec: FieldSpec, x, tw_s, half: int, dif: bool,
+               interpret: bool):
+    """Stage with lane-stride hl = half/8 >= 128 on the (8, W) array."""
+    W = x.shape[1]
+    hl = half // ROWS
+    tile = min(hl, TILE_W)
+    hb = hl // tile
+
+    def lo_map(t):
+        r2 = t % (2 * hb)
+        return (0, t - jnp.where(r2 >= hb, hb, 0))
+
+    def hi_map(t):
+        r2 = t % (2 * hb)
+        return (0, t + jnp.where(r2 >= hb, 0, hb))
+
+    kern = functools.partial(_stage_kernel, spec, hb, dif)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((ROWS, W), U32),
+        grid=(W // tile,),
+        in_specs=[
+            pl.BlockSpec((ROWS, tile), lo_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, tile), hi_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, tile), lambda t: (0, t % hb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ROWS, tile), lambda t: (0, t),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, x, tw_s)
+
+
+# -- fused tail: all stages with half < 8*tile, one HBM pass -----------------
+
+def _tail_kernel(spec, halves, dif, x_ref, tw_ref, o_ref):
+    x = x_ref[:]
+    w = x.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    order = halves if dif else halves[::-1]
+    for idx, h in enumerate(order):
+        ti = idx if dif else len(halves) - 1 - idx
+        tw = tw_ref[:, ti * w:(ti + 1) * w]
+        if h >= ROWS:
+            hl = h // ROWS  # lane stride
+            m = (lane % (2 * hl)) < hl
+            rl = lambda v, _h=hl: _roll_lane_l(v, _h)
+            rr = lambda v, _h=hl: _roll_lane_r(v, _h)
+        else:
+            m = (row % (2 * h)) < h
+            rl = lambda v, _h=h: _roll_row_l(v, _h)
+            rr = lambda v, _h=h: _roll_row_r(v, _h)
+        if dif:
+            s = _madd(spec, x, rl(x))
+            d = _msub(spec, rr(x), x)
+            x = jnp.where(m, s, _mmul(spec, d, tw))
+        else:
+            t = _mmul(spec, x, tw)
+            out_lo = _madd(spec, x, rl(t))
+            out_hi = _msub(spec, rr(x), t)
+            x = jnp.where(m, out_lo, out_hi)
+    o_ref[:] = x
+
+
+def _tail_pass(spec: FieldSpec, x, tw_tail, halves, dif: bool,
+               interpret: bool):
+    W = x.shape[1]
+    tile = min(W, TILE_W)
+    kern = functools.partial(_tail_kernel, spec, tuple(halves), dif)
+    tw_w = tw_tail.shape[1]
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((ROWS, W), U32),
+        grid=(W // tile,),
+        in_specs=[
+            pl.BlockSpec((ROWS, tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, tw_w), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ROWS, tile), lambda t: (0, t),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, tw_tail)
+
+
+# -- twiddle tables ----------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _tables(domain, inverse: bool, tail_tile: int):
+    """Per-stage twiddles in the (8, W) column-major layout.
+
+    Element i = c*8 + r sits at [r, c]; stage-s twiddle for it is
+    tw0[(i % half) << s]. Big stages get (8, half/8) tables; the tail gets
+    one (8, n_tail*tail_tile) stacked table (patterns are periodic in c
+    with period half/8 <= 64, or constant per row for half < 8).
+    """
+    n, k = domain.n, domain.k
+    tw0 = np.asarray(domain.twiddles0_inv if inverse else domain.twiddles0)
+    big = {}
+    tail_vecs = []
+    r = np.arange(ROWS, dtype=np.int64)[:, None]
+    for s in range(k):
+        half = n >> (s + 1)
+        if half >= ROWS * LANES:
+            c = np.arange(half // ROWS, dtype=np.int64)[None, :]
+            idx = ((c * ROWS + r) % half) << s
+            big[s] = jnp.asarray(tw0[idx])
+        else:
+            c = np.arange(tail_tile, dtype=np.int64)[None, :]
+            idx = ((c * ROWS + r) % half) << s
+            tail_vecs.append(tw0[idx])
+    tail = jnp.asarray(np.concatenate(tail_vecs, axis=1)) if tail_vecs \
+        else jnp.zeros((ROWS, 0), U32)
+    return big, tail
+
+
+def run_stages_pallas_f31(domain, a, decimation: str, inverse: bool,
+                          interpret: bool = False):
+    """Drop-in replacement for fft._run_stages on flat (n,) uint32 arrays."""
+    spec = domain.eng.spec
+    n, k = domain.n, domain.k
+    W = n // ROWS
+    tail_tile = min(W, TILE_W)
+    big, tail = _tables(domain, inverse, tail_tile)
+    x = a.reshape(W, ROWS).T  # column-major: element i at [i%8, i//8]
+
+    dif = decimation == "DIF"
+    big_stages = [s for s in range(k) if (n >> (s + 1)) >= ROWS * LANES]
+    tail_halves = tuple(n >> (s + 1) for s in range(k)
+                        if (n >> (s + 1)) < ROWS * LANES)
+    if dif:
+        for s in big_stages:
+            x = _big_stage(spec, x, big[s], n >> (s + 1), True, interpret)
+        if tail_halves:
+            x = _tail_pass(spec, x, tail, tail_halves, True, interpret)
+    else:
+        if tail_halves:
+            x = _tail_pass(spec, x, tail, tail_halves, False, interpret)
+        for s in reversed(big_stages):
+            x = _big_stage(spec, x, big[s], n >> (s + 1), False, interpret)
+    return x.T.reshape(n)
+
+
+def supported(domain, a) -> bool:
+    eng = domain.eng
+    return (getattr(eng, "elem_dims", 1) == 0 and domain.n >= 2 * ROWS * LANES
+            and a.ndim == 1)

@@ -39,3 +39,37 @@ def test_pallas_stages_match_xla(dom, data, decimation, inverse):
         ref = fft_mod._dit_stages(eng, data, tw, dom.k)
     got = run_stages_pallas(dom, data, decimation, inverse, interpret=True)
     assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+# -- f31 (koalabear) --------------------------------------------------------
+
+N31 = 4096  # k=12: two lane-aligned stages + full 10-stage fused tail
+
+
+@pytest.fixture(scope="module")
+def dom31():
+    return Domain(fs.KOALABEAR, N31)
+
+
+@pytest.fixture(scope="module")
+def data31(dom31):
+    eng = for_spec(fs.KOALABEAR)
+    rng = random.Random(11)
+    return eng.from_int([rng.randrange(fs.KOALABEAR.modulus)
+                         for _ in range(N31)])
+
+
+@pytest.mark.parametrize("decimation", ["DIF", "DIT"])
+@pytest.mark.parametrize("inverse", [False, True])
+def test_pallas_f31_stages_match_xla(dom31, data31, decimation, inverse):
+    from gnark_crypto_tpu.ntt.pallas_ntt_f31 import run_stages_pallas_f31
+
+    eng = dom31.eng
+    tw = lambda s: dom31.stage_twiddles(s, inverse=inverse)
+    if decimation == "DIF":
+        ref = fft_mod._dif_stages(eng, data31, tw, dom31.k)
+    else:
+        ref = fft_mod._dit_stages(eng, data31, tw, dom31.k)
+    got = run_stages_pallas_f31(dom31, data31, decimation, inverse,
+                                interpret=True)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
