@@ -1,0 +1,227 @@
+"""BW6 optimal ate pairing (Fp6 target group, G2 over Fp).
+
+Counterpart of ``ecc/bw6-761/pairing.go``: the single Miller loop of
+eprint 2021/1359 Alg.2 — f_{x+1 + lambda(x^3-x^2-x), Q}(P) — driven by two
+joint NAF digit rows, with the G1 third-root-of-unity endomorphism
+providing the lambda component (q1 = (w*X, -Y)); final exponentiation per
+Algorithm 4.4 of El Housni's thesis (pairing.go:62-122).
+
+Everything is batched over lanes like pairing12; steps run on the fp
+engine directly (BW6's twist is over Fp itself). Runs as a host-dispatched
+ladder (utils/hostloop.py rationale) — the digit rows are static.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gnark_crypto_tpu.curve.jacobian import Affine
+from gnark_crypto_tpu.pairing.pairing12 import naf
+from gnark_crypto_tpu.towers.tower6 import Tower6, get_tower6
+
+
+class G2ProjFp(NamedTuple):
+    x: jax.Array
+    y: jax.Array
+    z: jax.Array
+
+
+_PARAMS = {
+    "bw6_761": dict(
+        x0=9586122913090633729,  # bw6-761.go:136 xGen
+        third_root=1968985824090209297278610739700577151397666382303825728450741611566800370218827257750865013421937292370006175842381275743914023380727582819905021229583192207421122272650305267822868639090213645505120388400344940985710520836292650,
+        b_twist=4,  # bw6-761.go:101
+    ),
+}
+
+
+class PairingCtx6:
+    def __init__(self, name: str):
+        par = _PARAMS[name]
+        self.name = name
+        self.tower: Tower6 = get_tower6(name)
+        self.fp = self.tower.fp
+        self.x0 = par["x0"]
+        self.third_root = par["third_root"]
+        self._w_dev = self.fp.from_int(self.third_root)
+        self._b_twist = par["b_twist"]
+        self._b_twist_dev = self.fp.from_int(self._b_twist)
+        # digit rows, LSB-first: LoopCounter = naf(x0+1) (bw6-761.go:102),
+        # LoopCounter1 = naf(x0^3 - x0^2 - x0) (bw6-761.go:118); the MSB of
+        # LoopCounter1 (index 189) is consumed by starting from q1.
+        x0 = self.x0
+        self.l0 = naf(x0 + 1)
+        self.l1 = naf(x0 ** 3 - x0 ** 2 - x0)
+        self.nbits = len(self.l1) - 1  # iterate i = nbits-1 .. 0
+
+    def _dig(self, i: int) -> int:
+        d0 = self.l0[i] if i < len(self.l0) else 0
+        return 3 * self.l1[i] + d0
+
+    # -- projective steps over fp (pairing.go:277,318,355) ------------------
+    def double_step(self, q: G2ProjFp):
+        f = self.fp
+        A = f.halve(f.mul(q.x, q.y))
+        B = f.square(q.y)
+        C = f.square(q.z)
+        D = f.add(f.double(C), C)
+        E = f.mul(D, f.broadcast_to(self._b_twist_dev, f.eshape(D)))
+        F = f.add(f.double(E), E)
+        G = f.halve(f.add(B, F))
+        H = f.sub(f.square(f.add(q.y, q.z)), f.add(B, C))
+        I = f.sub(E, B)
+        J = f.square(q.x)
+        EE = f.square(E)
+        K = f.add(f.double(EE), EE)
+        x3 = f.mul(f.sub(B, F), A)
+        y3 = f.sub(f.square(G), K)
+        z3 = f.mul(B, H)
+        # line (r0, r1, r2) = (I, 3J, -H)  [pairing.go:310-313]
+        return G2ProjFp(x3, y3, z3), (I, f.add(f.double(J), J), f.neg(H))
+
+    def add_mixed_step(self, q: G2ProjFp, a_x, a_y):
+        f = self.fp
+        O = f.sub(q.y, f.mul(a_y, q.z))
+        L = f.sub(q.x, f.mul(a_x, q.z))
+        C = f.square(O)
+        D = f.square(L)
+        E = f.mul(L, D)
+        F = f.mul(q.z, C)
+        G = f.mul(q.x, D)
+        H = f.sub(f.add(E, F), f.double(G))
+        x3 = f.mul(L, H)
+        y3 = f.sub(f.mul(f.sub(G, H), O), f.mul(q.y, E))
+        z3 = f.mul(E, q.z)
+        J = f.sub(f.mul(a_x, O), f.mul(L, a_y))
+        # line (r0, r1, r2) = (J, -O, L)  [pairing.go:348-350]
+        return G2ProjFp(x3, y3, z3), (J, f.neg(O), L)
+
+    def line_compute(self, q: G2ProjFp, a_x, a_y):
+        f = self.fp
+        O = f.sub(q.y, f.mul(a_y, q.z))
+        L = f.sub(q.x, f.mul(a_x, q.z))
+        J = f.sub(f.mul(a_x, O), f.mul(L, a_y))
+        return (J, f.neg(O), L)
+
+    # -- line -> E6 (positions 0, 1, 4: pairing.go:182-184 MulBy014) --------
+    def line_value(self, line, px, py, inf_mask):
+        tw, f, e6 = self.tower, self.fp, self.tower.e6
+        r0, r1, r2 = line
+        zero = f.zeros(f.eshape(r0))
+        lv = tw.from_coeffs6([r0, f.mul(r1, px), zero,
+                              zero, f.mul(r2, py), zero])
+        ones = e6.broadcast_to(e6.ones(), e6.eshape(lv))
+        return e6.where(inf_mask, ones, lv)
+
+
+@functools.lru_cache(maxsize=None)
+def get_ctx6(name: str) -> PairingCtx6:
+    return PairingCtx6(name)
+
+
+@functools.lru_cache(maxsize=None)
+def _miller_kernels6(ctx: PairingCtx6):
+    e6 = ctx.tower.e6
+
+    def dbl(facc, qp, px, py, infm):
+        facc = e6.square(facc)
+        qp, line = ctx.double_step(qp)
+        return e6.mul(facc, ctx.line_value(line, px, py, infm)), qp
+
+    def add(facc, qp, ax, ay, px, py, infm):
+        qp, line = ctx.add_mixed_step(qp, ax, ay)
+        return e6.mul(facc, ctx.line_value(line, px, py, infm)), qp
+
+    def last(facc, qp, ax, ay, px, py, infm):
+        line = ctx.line_compute(qp, ax, ay)
+        return e6.mul(facc, ctx.line_value(line, px, py, infm))
+
+    return jax.jit(dbl), jax.jit(add), jax.jit(last)
+
+
+def miller_loop(ctx: PairingCtx6, P: Affine, QX, QY):
+    """Batched multi-Miller loop; infinite pairs neutralized
+    (pairing.go:139-148 filtering)."""
+    f, e6 = ctx.fp, ctx.tower.e6
+    n = f.eshape(P.x)[0]
+    inf_mask = (f.is_zero(P.x) & f.is_zero(P.y)) | \
+        (f.is_zero(QX) & f.is_zero(QY))
+
+    w = f.broadcast_to(ctx._w_dev, (n,))
+    q0 = (QX, QY)
+    q0n = (QX, f.neg(QY))
+    q1 = (f.mul(QX, w), f.neg(QY))       # pairing.go:157-161
+    q1n = (q1[0], QY)
+
+    one = f.broadcast_to(f.ones(), (n,))
+    qp = G2ProjFp(q1[0], q1[1], one)     # start from q1 (MSB of l1)
+    facc = e6.broadcast_to(e6.ones(), (n,))
+
+    dblk, addk, lastk = _miller_kernels6(ctx)
+    adds = {3: q1, 1: q0, -1: q0n, -3: q1n}
+    for i in range(ctx.nbits - 1, 0, -1):
+        facc, qp = dblk(facc, qp, P.x, P.y, inf_mask)
+        j = ctx._dig(i)
+        if j:
+            ax, ay = adds[j]
+            facc, qp = addk(facc, qp, ax, ay, P.x, P.y, inf_mask)
+    # i = 0: j = -3, line only (pairing.go:259-271)
+    facc, qp = dblk(facc, qp, P.x, P.y, inf_mask)
+    facc = lastk(facc, qp, q1n[0], q1n[1], P.x, P.y, inf_mask)
+
+    # product over pairs
+    total = facc[:1]
+    for idx in range(1, n):
+        total = e6.mul(total, facc[idx:idx + 1])
+    return total
+
+
+def final_exponentiation(ctx: PairingCtx6, z):
+    """(p^6-1)/r via easy part + Algorithm 4.4 hard part
+    (pairing.go:62-122)."""
+    tw, e6 = ctx.tower, ctx.tower.e6
+    x0 = ctx.x0
+    e_m1 = x0 - 1
+    e_m1sq = (x0 - 1) ** 2
+    e_p1 = x0 + 1
+    e_div3 = (x0 - 1) // 3
+
+    # easy part: (p^3 - 1)(p + 1)
+    buf = tw.conjugate(z)
+    res = e6.inverse(z)
+    buf = e6.mul(buf, res)
+    res = e6.mul(tw.frobenius(buf), buf)
+
+    exp = tw.exp_cyclotomic
+    a = e6.mul(exp(res, e_m1sq), tw.frobenius(res))
+    b = e6.mul(exp(a, e_p1), tw.conjugate(res))
+    a = e6.mul(a, tw.cyclotomic_square(a))            # a^3
+    c = exp(b, e_div3)
+    d = exp(c, e_m1)
+    e = e6.mul(exp(d, e_m1sq), d)
+    d = tw.conjugate(d)
+    f_ = e6.mul(d, b)
+    g = e6.mul(exp(e, e_p1), f_)
+    h = e6.mul(g, c)
+    i = exp(e6.mul(g, d), e_p1)
+    i = e6.mul(i, tw.conjugate(f_))
+    j = e6.mul(exp(h, 11), e)                          # Expc1: c1 = 11
+    k = e6.mul(e6.mul(tw.cyclotomic_square(j), j), b)
+    k = e6.mul(k, exp(i, 103))                         # Expc2: c2 = 103
+    return e6.mul(a, k)
+
+
+def pair(name: str, P: Affine, QX, QY):
+    ctx = get_ctx6(name)
+    return final_exponentiation(ctx, miller_loop(ctx, P, QX, QY))
+
+
+def pairing_check(name: str, P: Affine, QX, QY):
+    ctx = get_ctx6(name)
+    e6 = ctx.tower.e6
+    r = pair(name, P, QX, QY)
+    return e6.equal(r, e6.broadcast_to(e6.ones(), e6.eshape(r)))
