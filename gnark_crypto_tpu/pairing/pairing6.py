@@ -30,11 +30,34 @@ class G2ProjFp(NamedTuple):
     z: jax.Array
 
 
+_W633 = 4098895725012429242072311240482566844345873033931481129362557724405008256668293241245050359832461015092695507587185678086043587575438449040313411246717257958467499181450742260777082884928318
+
 _PARAMS = {
     "bw6_761": dict(
         x0=9586122913090633729,  # bw6-761.go:136 xGen
         third_root=1968985824090209297278610739700577151397666382303825728450741611566800370218827257750865013421937292370006175842381275743914023380727582819905021229583192207421122272650305267822868639090213645505120388400344940985710520836292650,
         b_twist=4,  # bw6-761.go:101
+        # joint digits: a0 = x0+1 (row scaled by 1), a1 = x0^3-x0^2-x0
+        # (row scaled by 3); start from q1, last step j=-3 -> q1Neg
+        a0=9586122913090633730, a1=880904806456922042166256752416502360955572640081583800319,
+        a1_scaled=True, start_q1=True, i0=("q1n",), conj_end=False,
+        # hard-part exponents (Algorithm 4.4; x0 > 0)
+        exps=dict(m1=9586122913090633728, m1sq=9586122913090633728 ** 2,
+                  p1=9586122913090633730, div3=3195374304363544576,
+                  c1=11, c2=103, alg="4.4"),
+    ),
+    "bw6_633": dict(
+        x0=-3218079743,  # bw6-633.go:127 xGen ("negative")
+        third_root=(_W633 * _W633),  # thirdRootOneG2 = w^2 (bw6-633.go:119)
+        b_twist=8,  # bw6-633.go:90 (M-twist)
+        # |x0+1| row scaled by 3, |x0^5-x0^4-x0| row scaled by 1; start
+        # from q0, final conjugation (negative seed), last step j=1 -> q0
+        a0=3218079742, a1=345131030376204096837580131803633448876874137601,
+        a1_scaled=False, start_q1=False, i0=("q0",), conj_end=True,
+        exps=dict(m1=-3218079744, m1sq=3218079744 ** 2,
+                  p1=-3218079742, div3=-1072693248,
+                  sq_p1=3218079743 ** 2 + 1,
+                  c1=-3, c2=13, alg="4.5"),
     ),
 }
 
@@ -50,17 +73,20 @@ class PairingCtx6:
         self._w_dev = self.fp.from_int(self.third_root)
         self._b_twist = par["b_twist"]
         self._b_twist_dev = self.fp.from_int(self._b_twist)
-        # digit rows, LSB-first: LoopCounter = naf(x0+1) (bw6-761.go:102),
-        # LoopCounter1 = naf(x0^3 - x0^2 - x0) (bw6-761.go:118); the MSB of
-        # LoopCounter1 (index 189) is consumed by starting from q1.
-        x0 = self.x0
-        self.l0 = naf(x0 + 1)
-        self.l1 = naf(x0 ** 3 - x0 ** 2 - x0)
+        self.par = par
+        # digit rows, LSB-first NAF of the two loop scalars (bw6-761.go:102,
+        # 118 / bw6-633.go:106,110); the MSB of the longer row is consumed
+        # by the starting point (q1 for bw6-761, q0 for bw6-633).
+        self.l0 = naf(par["a0"])
+        self.l1 = naf(par["a1"])
         self.nbits = len(self.l1) - 1  # iterate i = nbits-1 .. 0
 
     def _dig(self, i: int) -> int:
         d0 = self.l0[i] if i < len(self.l0) else 0
-        return 3 * self.l1[i] + d0
+        d1 = self.l1[i]
+        # bw6-761: j = 3*L1 + L0 (pairing.go:216); bw6-633: j = 3*L0 + L1
+        # (pairing.go:210)
+        return (3 * d1 + d0) if self.par["a1_scaled"] else (3 * d0 + d1)
 
     # -- projective steps over fp (pairing.go:277,318,355) ------------------
     def double_step(self, q: G2ProjFp):
@@ -158,7 +184,8 @@ def miller_loop(ctx: PairingCtx6, P: Affine, QX, QY):
     q1n = (q1[0], QY)
 
     one = f.broadcast_to(f.ones(), (n,))
-    qp = G2ProjFp(q1[0], q1[1], one)     # start from q1 (MSB of l1)
+    start = q1 if ctx.par["start_q1"] else q0  # MSB of the scaled-by-3 row
+    qp = G2ProjFp(start[0], start[1], one)
     facc = e6.broadcast_to(e6.ones(), (n,))
 
     dblk, addk, lastk = _miller_kernels6(ctx)
@@ -169,9 +196,13 @@ def miller_loop(ctx: PairingCtx6, P: Affine, QX, QY):
         if j:
             ax, ay = adds[j]
             facc, qp = addk(facc, qp, ax, ay, P.x, P.y, inf_mask)
-    # i = 0: j = -3, line only (pairing.go:259-271)
+    # i = 0: final line only, no point update (bw6-761 pairing.go:259-271
+    # j=-3 -> q1Neg; bw6-633 pairing.go:274-289 j=1 -> q0)
     facc, qp = dblk(facc, qp, P.x, P.y, inf_mask)
-    facc = lastk(facc, qp, q1n[0], q1n[1], P.x, P.y, inf_mask)
+    last_pt = {"q1n": q1n, "q0": q0}[ctx.par["i0"][0]]
+    facc = lastk(facc, qp, last_pt[0], last_pt[1], P.x, P.y, inf_mask)
+    if ctx.par["conj_end"]:
+        facc = ctx.tower.conjugate(facc)  # negative seed (bw6-633)
 
     # product over pairs
     total = facc[:1]
@@ -181,14 +212,16 @@ def miller_loop(ctx: PairingCtx6, P: Affine, QX, QY):
 
 
 def final_exponentiation(ctx: PairingCtx6, z):
-    """(p^6-1)/r via easy part + Algorithm 4.4 hard part
-    (pairing.go:62-122)."""
+    """(p^6-1)/r via easy part + hard part: Algorithm 4.4 (bw6-761,
+    pairing.go:62-122) or 4.5 (bw6-633) of El Housni's thesis. Signed
+    exponents use conjugation (cyclotomic inverse)."""
     tw, e6 = ctx.tower, ctx.tower.e6
-    x0 = ctx.x0
-    e_m1 = x0 - 1
-    e_m1sq = (x0 - 1) ** 2
-    e_p1 = x0 + 1
-    e_div3 = (x0 - 1) // 3
+    E = ctx.par["exps"]
+
+    def exp(x, e):
+        if e < 0:
+            return tw.conjugate(tw.exp_cyclotomic(x, -e))
+        return tw.exp_cyclotomic(x, e)
 
     # easy part: (p^3 - 1)(p + 1)
     buf = tw.conjugate(z)
@@ -196,23 +229,41 @@ def final_exponentiation(ctx: PairingCtx6, z):
     buf = e6.mul(buf, res)
     res = e6.mul(tw.frobenius(buf), buf)
 
-    exp = tw.exp_cyclotomic
-    a = e6.mul(exp(res, e_m1sq), tw.frobenius(res))
-    b = e6.mul(exp(a, e_p1), tw.conjugate(res))
-    a = e6.mul(a, tw.cyclotomic_square(a))            # a^3
-    c = exp(b, e_div3)
-    d = exp(c, e_m1)
-    e = e6.mul(exp(d, e_m1sq), d)
-    d = tw.conjugate(d)
-    f_ = e6.mul(d, b)
-    g = e6.mul(exp(e, e_p1), f_)
-    h = e6.mul(g, c)
-    i = exp(e6.mul(g, d), e_p1)
-    i = e6.mul(i, tw.conjugate(f_))
-    j = e6.mul(exp(h, 11), e)                          # Expc1: c1 = 11
-    k = e6.mul(e6.mul(tw.cyclotomic_square(j), j), b)
-    k = e6.mul(k, exp(i, 103))                         # Expc2: c2 = 103
-    return e6.mul(a, k)
+    if E["alg"] == "4.4":
+        a = e6.mul(exp(res, E["m1sq"]), tw.frobenius(res))
+        b = e6.mul(exp(a, E["p1"]), tw.conjugate(res))
+        a = e6.mul(a, tw.cyclotomic_square(a))            # a^3
+        c = exp(b, E["div3"])
+        d = exp(c, E["m1"])
+        e = e6.mul(exp(d, E["m1sq"]), d)
+        d = tw.conjugate(d)
+        f_ = e6.mul(d, b)
+        g = e6.mul(exp(e, E["p1"]), f_)
+        h = e6.mul(g, c)
+        i = exp(e6.mul(g, d), E["p1"])
+        i = e6.mul(i, tw.conjugate(f_))
+        j = e6.mul(exp(h, E["c1"]), e)
+        k = e6.mul(e6.mul(tw.cyclotomic_square(j), j), b)
+        k = e6.mul(k, exp(i, E["c2"]))
+        return e6.mul(a, k)
+
+    # Algorithm 4.5 (bw6-633 pairing.go:62-130)
+    mp = tw.frobenius(res)
+    a = exp(exp(mp, E["m1sq"]), E["sq_p1"])
+    a = e6.mul(res, a)
+    b = e6.mul(exp(a, E["p1"]), tw.conjugate(mp))
+    t = e6.mul(tw.cyclotomic_square(a), a)
+    a = tw.conjugate(t)                                   # (a^3)^-1
+    c = exp(b, E["div3"])
+    d = exp(exp(c, E["m1"]), E["sq_p1"])
+    e = e6.mul(exp(exp(d, E["m1sq"]), E["sq_p1"]), d)
+    f_ = e6.mul(tw.conjugate(e6.mul(exp(e, E["p1"]), c)), d)
+    g = tw.conjugate(e6.mul(f_, d))
+    h = e6.mul(e6.mul(exp(g, E["p1"]), c), b)
+    i = e6.mul(exp(f_, E["c1"]), e)
+    t = e6.mul(e6.mul(tw.cyclotomic_square(i), i), b)
+    i = e6.mul(exp(h, E["c2"]), t)
+    return e6.mul(a, i)
 
 
 def pair(name: str, P: Affine, QX, QY):

@@ -53,10 +53,11 @@ def scaled_gen(curve, k):
                                             nbits=max(8, k.bit_length())))
 
 
-def test_bw6_761_pairing_bilinear():
-    g1 = curve_ops(cs.get_curve("bw6_761_g1"))
-    g2 = curve_ops(cs.get_curve("bw6_761_g2"))
-    ctx = pairing6.get_ctx6("bw6_761")
+@pytest.mark.parametrize("name", ["bw6_761", "bw6_633"])
+def test_bw6_pairing_bilinear(name):
+    g1 = curve_ops(cs.get_curve(f"{name}_g1"))
+    g2 = curve_ops(cs.get_curve(f"{name}_g2"))
+    ctx = pairing6.get_ctx6(name)
     tw, e6 = ctx.tower, ctx.tower.e6
 
     a, b = 5, 7
@@ -65,8 +66,8 @@ def test_bw6_761_pairing_bilinear():
     Pa = scaled_gen(g1, a)
     Qb = scaled_gen(g2, b)
 
-    base = pairing6.pair("bw6_761", P, Q.x, Q.y)
-    lhs = pairing6.pair("bw6_761", Pa, Qb.x, Qb.y)
+    base = pairing6.pair(name, P, Q.x, Q.y)
+    lhs = pairing6.pair(name, Pa, Qb.x, Qb.y)
     rhs = tw.exp_cyclotomic(base, a * b)
     assert np.array_equal(np.asarray(lhs), np.asarray(rhs)), "bilinearity"
 
