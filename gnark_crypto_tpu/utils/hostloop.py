@@ -28,14 +28,17 @@ def is_tracing(*leaves) -> bool:
 
 @functools.lru_cache(maxsize=None)
 def _ladder_kernels(square_fn, mul_fn):
-    """(square, square_then_mul) jitted once per (square_fn, mul_fn) pair.
+    """(square, mul) jitted once per (square_fn, mul_fn) pair.
 
-    Callers must pass STABLE function objects (bound methods of cached
-    engine/tower singletons) or the cache degenerates to per-call jits.
+    Kept as two SEPARATE programs (not a fused square-then-mul): smaller
+    LLVM functions per compile — the XLA:CPU segfault probability grows
+    with program size. Callers must pass STABLE function objects (bound
+    methods of cached engine/tower singletons) or the cache degenerates
+    to per-call jits.
     """
     sq = jax.jit(lambda r: square_fn(r))
-    sqmul = jax.jit(lambda r, x: mul_fn(square_fn(r), x))
-    return sq, sqmul
+    mul = jax.jit(lambda r, x: mul_fn(r, x))
+    return sq, mul
 
 
 def exp_ladder(square_fn, mul_fn, x, e: int, *, ones=None, skip_leading=True):
@@ -44,7 +47,7 @@ def exp_ladder(square_fn, mul_fn, x, e: int, *, ones=None, skip_leading=True):
     ``skip_leading``: start the ladder from x (top bit consumed), as the
     scan versions do; when False, starts from ``ones``.
     """
-    sq, sqmul = _ladder_kernels(square_fn, mul_fn)
+    sq, mul = _ladder_kernels(square_fn, mul_fn)
     nbits = e.bit_length()
     if skip_leading:
         res = x
@@ -54,5 +57,7 @@ def exp_ladder(square_fn, mul_fn, x, e: int, *, ones=None, skip_leading=True):
         start = 0
     for i in range(start, nbits):
         bit = (e >> (nbits - 1 - i)) & 1
-        res = sqmul(res, x) if bit else sq(res)
+        res = sq(res)
+        if bit:
+            res = mul(res, x)
     return res

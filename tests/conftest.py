@@ -50,13 +50,8 @@ jax.config.update("jax_threefry_partitionable", True)
 # healthy in smoke tests).
 
 
-import pytest  # noqa: E402
-
-
-@pytest.fixture(autouse=True, scope="module")
-def _clear_jax_caches_per_module():
-    """Free compiled-program state between modules: the XLA CPU backend has
-    been observed to abort (SIGABRT in backend_compile) after accumulating
-    many large compilations in one process."""
-    yield
-    jax.clear_caches()
+# NOTE: an earlier revision cleared jax caches per module to bound compiler
+# state. Removed: the backend_compile segfaults kept occurring right after
+# module boundaries, consistent with executable deallocation + JIT memory
+# reuse being part of the trigger, and re-compiling shared kernels tripled
+# the number of compiles (each one a new chance to crash).
