@@ -27,7 +27,7 @@ from gnark_crypto_tpu.curve.g2 import g2_curve
 from gnark_crypto_tpu.curve.jacobian import Affine, Jac, curve_ops
 from gnark_crypto_tpu.hashes.fiat_shamir import Transcript
 from gnark_crypto_tpu.msm.pippenger import msm
-from gnark_crypto_tpu.pairing import pairing12
+from gnark_crypto_tpu.pairing import api as pairing_api
 from gnark_crypto_tpu.specs import curve as cs
 from gnark_crypto_tpu.utils.scans import exp_table, prefix_sum
 
@@ -164,7 +164,7 @@ def verify(name: str, commitment: Affine, proof: OpeningProof, point,
     py = jnp.concatenate([total_aff.y, proof.h.y], axis=0)
     qx = jnp.concatenate([vk.g2.x, vk.alpha_g2.x], axis=0)
     qy = jnp.concatenate([vk.g2.y, vk.alpha_g2.y], axis=0)
-    return pairing12.pairing_check(name, Affine(px, py), qx, qy)
+    return pairing_api.pairing_check(name, Affine(px, py), qx, qy)
 
 
 def _fr_neg_plain(fr, k):

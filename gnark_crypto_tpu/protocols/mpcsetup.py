@@ -28,7 +28,7 @@ from gnark_crypto_tpu.curve.jacobian import Affine, Jac, curve_ops
 from gnark_crypto_tpu.hashes.hash_to_curve import hash_to_g2
 from gnark_crypto_tpu.io.marshal import PointCodec
 from gnark_crypto_tpu.msm.pippenger import msm
-from gnark_crypto_tpu.pairing import pairing12
+from gnark_crypto_tpu.pairing import api as pairing_api
 from gnark_crypto_tpu.specs import curve as cs
 
 
@@ -97,7 +97,7 @@ def _same_ratio(name, n1: Affine, d1: Affine, n2: Affine, d2: Affine) -> bool:
     py = jnp.concatenate([n1.y, nd1.y], axis=0)
     qx = jnp.concatenate([d2.x, n2.x], axis=0)
     qy = jnp.concatenate([d2.y, n2.y], axis=0)
-    return bool(np.asarray(pairing12.pairing_check(
+    return bool(np.asarray(pairing_api.pairing_check(
         name, Affine(px, py), qx, qy)))
 
 

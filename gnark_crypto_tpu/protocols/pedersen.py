@@ -18,7 +18,7 @@ import numpy as np
 from gnark_crypto_tpu.curve.g2 import g2_curve
 from gnark_crypto_tpu.curve.jacobian import Affine, Jac, curve_ops
 from gnark_crypto_tpu.msm.pippenger import msm
-from gnark_crypto_tpu.pairing import pairing12
+from gnark_crypto_tpu.pairing import api as pairing_api
 from gnark_crypto_tpu.specs import curve as cs
 
 
@@ -82,7 +82,7 @@ def verify(name: str, vk: VerifyingKey, commitment: Affine, pok: Affine):
     py = jnp.concatenate([commitment.y, pok.y], axis=0)
     qx = jnp.concatenate([vk.g_sigma_neg.x, vk.g.x], axis=0)
     qy = jnp.concatenate([vk.g_sigma_neg.y, vk.g.y], axis=0)
-    return pairing12.pairing_check(name, Affine(px, py), qx, qy)
+    return pairing_api.pairing_check(name, Affine(px, py), qx, qy)
 
 
 def fold_commitments(name: str, commitments: list[Affine], coeff: int):

@@ -19,7 +19,7 @@ import numpy as np
 from gnark_crypto_tpu.curve.jacobian import Affine, Jac, curve_ops
 from gnark_crypto_tpu.hashes.fiat_shamir import Transcript
 from gnark_crypto_tpu.msm.pippenger import msm
-from gnark_crypto_tpu.pairing import pairing12
+from gnark_crypto_tpu.pairing import api as pairing_api
 from gnark_crypto_tpu.protocols import kzg
 from gnark_crypto_tpu.specs import curve as cs
 
@@ -222,4 +222,4 @@ def batch_verify(name: str, proof: OpeningProof, digests: list[Affine],
     py = jnp.concatenate([f_aff.y, proof.w_prime.y], axis=0)
     qx = jnp.concatenate([vk.g2.x, vk.alpha_g2.x], axis=0)
     qy = jnp.concatenate([vk.g2.y, vk.alpha_g2.y], axis=0)
-    return pairing12.pairing_check(name, Affine(px, py), qx, qy)
+    return pairing_api.pairing_check(name, Affine(px, py), qx, qy)

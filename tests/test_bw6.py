@@ -75,3 +75,29 @@ def test_bw6_pairing_bilinear(name):
     assert not bool(np.asarray(e6.equal(base, one)))
     r = g1.spec.fr.modulus
     assert bool(np.asarray(e6.equal(tw.exp_cyclotomic(base, r), one)))
+
+
+def test_bw6_761_kzg_roundtrip():
+    """KZG commit/open/verify over BW6-761 via the pairing facade."""
+    import random as _r
+
+    from gnark_crypto_tpu.protocols import kzg
+
+    name = "bw6_761"
+    srs = kzg.new_srs(name, 8, 1234567)
+    g1c = curve_ops(cs.get_curve(f"{name}_g1"))
+    fr = g1c.fr
+    rng = _r.Random(9)
+    r = g1c.spec.fr.modulus
+    poly = fr.from_int([rng.randrange(r) for _ in range(8)], mont=False)
+    com = kzg.commit(name, srs.pk, poly)
+    point = fr.from_int([424242], mont=False)
+    proof = kzg.open_poly(name, srs.pk, poly, point)
+    assert bool(np.asarray(kzg.verify(name, com, proof, point, srs.vk)))
+    bad = kzg.OpeningProof(
+        h=proof.h,
+        claimed_value=fr.add_plain(proof.claimed_value, fr.from_int([1], mont=False))
+        if hasattr(fr, "add_plain") else
+        fr.from_mont(fr.add(fr.to_mont(proof.claimed_value),
+                            fr.to_mont(fr.from_int([1], mont=False)))))
+    assert not bool(np.asarray(kzg.verify(name, com, bad, point, srs.vk)))

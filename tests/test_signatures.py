@@ -29,8 +29,10 @@ def test_ted_curve_basics():
     assert f.to_int(back.y) == f.to_int(pts.y)
 
 
-def test_eddsa_sign_verify():
-    ed = EdDSA("bn254")
+@pytest.mark.parametrize("name", ["bn254", "bls12_377", "bls12_381",
+                                  "bandersnatch", "bw6_761"])
+def test_eddsa_sign_verify(name):
+    ed = EdDSA(name)
     priv = ed.generate_key(b"\x01" * 32)
     msg = (123).to_bytes(32, "big")
     sig = ed.sign(priv, msg)
