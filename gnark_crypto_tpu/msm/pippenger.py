@@ -184,9 +184,17 @@ def _fold_windows(curve: Curve, totals: Jac, c: int):
     return acc
 
 
+def _resolve(spec_or_curve) -> Curve:
+    """Accept a CurveSpec or a pre-built Curve (G2 over extension fields
+    needs its tower engine, which a bare spec cannot rebuild)."""
+    if isinstance(spec_or_curve, Curve):
+        return spec_or_curve
+    return curve_ops(spec_or_curve)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def _msm_jit(spec: CurveSpec, px, py, c: int, scalars=None):
-    curve = curve_ops(spec)
+    curve = _resolve(spec)
     points = Affine(px, py)
     mags, negs = signed_digits(curve, scalars, c)
     nwin = mags.shape[0]
@@ -204,6 +212,8 @@ def msm(spec: CurveSpec, points: Affine, scalars, c: int | None = None) -> Jac:
     """MultiExp: sum_i scalars[i] * points[i] (reference multiexp.go:21).
 
     points: Affine batch (N); scalars: plain fr array (N). Returns Jac.
+    ``spec`` may also be a Curve instance (required for G2 groups over
+    extension fields, e.g. ``g2_curve("bn254")``).
     """
     n = points.x.shape[0]
     assert scalars.shape[0] == n, "len(points) != len(scalars)"
@@ -213,7 +223,7 @@ def msm(spec: CurveSpec, points: Affine, scalars, c: int | None = None) -> Jac:
 
 def msm_naive(spec: CurveSpec, points: Affine, scalars) -> Jac:
     """Reference oracle: per-point scalar_mul + tree add (for tests)."""
-    curve = curve_ops(spec)
+    curve = _resolve(spec)
     pj = curve.from_affine(points)
     prods = curve.scalar_mul(pj, scalars)
     acc = jax.tree.map(lambda a: a[0], prods)

@@ -63,3 +63,32 @@ def jax_tree_index(jac):
     import jax
 
     return jax.tree.map(lambda x: x[None], jac)
+
+
+def test_msm_g2_vs_oracle():
+    """MSM over G2 (extension-field points) — multiexp.go G2 variant."""
+    import random
+
+    import jax.numpy as jnp
+
+    from gnark_crypto_tpu.curve.g2 import g2_curve
+    from gnark_crypto_tpu.curve.jacobian import Affine
+
+    g2 = g2_curve("bn254")
+    rng = random.Random(5)
+    n = 8
+    g = g2.generator_affine()
+    gb = Affine(g2.fp.broadcast_to(g.x, (1,)), g2.fp.broadcast_to(g.y, (1,)))
+    ks = [rng.randrange(1, 1000) for _ in range(n)]
+    pts_j = [g2.scalar_mul(g2.from_affine(gb),
+                           g2.fr.from_int([k], mont=False), nbits=10)
+             for k in ks]
+    pts = g2.to_affine(type(pts_j[0])(
+        *(jnp.concatenate([getattr(p, f) for p in pts_j])
+          for f in ("x", "y", "z"))))
+    scalars = [rng.randrange(g2.spec.fr.modulus) for _ in range(n)]
+    res = msm(g2, pts, g2.fr.from_int(scalars, mont=False))
+    want = sum(k * s for k, s in zip(ks, scalars)) % g2.spec.fr.modulus
+    oracle = g2.scalar_mul(g2.from_affine(gb),
+                           g2.fr.from_int([want], mont=False))
+    assert bool(np.asarray(g2.eq_jac(res, oracle)).ravel()[0])
