@@ -87,7 +87,7 @@ def test_msm_g2_vs_oracle():
         *(jnp.concatenate([getattr(p, f) for p in pts_j])
           for f in ("x", "y", "z"))))
     scalars = [rng.randrange(g2.spec.fr.modulus) for _ in range(n)]
-    res = msm(g2, pts, g2.fr.from_int(scalars, mont=False))
+    res = pippenger.msm(g2, pts, g2.fr.from_int(scalars, mont=False))
     want = sum(k * s for k, s in zip(ks, scalars)) % g2.spec.fr.modulus
     oracle = g2.scalar_mul(g2.from_affine(gb),
                            g2.fr.from_int([want], mont=False))
