@@ -28,6 +28,27 @@ SVDW = {
         8815841940592487685674414971303048083897117035520822607866,
         7296080957279758407415468581752425029565437052432607887563012631548408736189,
     ),
+    "secp256k1_g1": (  # ecc/secp256k1/hash_to_g1.go:75-79 (decoded)
+        1,
+        8,
+        57896044618658097711785492504343953926634992332820282019728792003954417335831,
+        10388779673325959979325452626823788324994718367665745800388075445979975427086,
+        77194726158210796949047323339125271902179989777093709359638389338605889781098,
+    ),
+    "stark_g1": (  # ecc/stark-curve/hash_to_g1.go (decoded)
+        1,
+        3141592653589793238462643383279502884197169399375105820974944592307816406667,
+        1809251394333065606848661391547535052811553607665798349986546028067936010240,
+        747120397548504753672821049844706693752799645928246271384591722031176001048,
+        272520077186478842991245371323181269386250180546566216570369979330317493608,
+    ),
+    "grumpkin_g1": (  # ecc/grumpkin/hash_to_g1.go (decoded)
+        1,
+        21888242871839275222246405745257275088548364400416034343698204186575808495601,
+        10944121435919637611123202872628637544274182200208017171849102093287904247808,
+        17631683881184975371348829942606096167675058198229016842588,
+        14592161914559516814830937163504850059032242933610689562465469457717205663766,
+    ),
     "bn254_g2": (
         (1, 0),
         (19485874751759354771024239261021720505790618469301721065564631296452457478374,
@@ -84,22 +105,30 @@ def map_to_curve_svdw(curve: Curve, u, svdw_key: str | None = None):
     one = f.broadcast_to(f.ones(), f.eshape(u))
     b = f.broadcast_to(f.from_int(curve.spec.b), f.eshape(u))
 
+    def g(x):
+        """g(x) = x^3 + a*x + b (a != 0 for e.g. stark-curve, secp256r1)."""
+        rhs = f.add(f.mul(f.square(x), x), b)
+        if not curve.a_is_zero:
+            a = f.broadcast_to(f.from_int(curve.spec.a), f.eshape(u))
+            rhs = f.add(rhs, f.mul(a, x))
+        return rhs
+
     tv1 = f.mul(f.square(u), c1)
     tv2 = f.add(one, tv1)
     tv1 = f.sub(one, tv1)
     tv3 = f.inverse(f.mul(tv1, tv2))        # inv0
     tv4 = f.mul(f.mul(f.mul(u, tv1), tv3), c3)
     x1 = f.sub(c2, tv4)
-    gx1 = f.add(f.mul(f.square(x1), x1), b)
+    gx1 = g(x1)
     x2 = f.add(c2, tv4)
-    gx2 = f.add(f.mul(f.square(x2), x2), b)
+    gx2 = g(x2)
     x3 = f.add(f.mul(f.square(f.mul(f.square(tv2), tv3)), c4), z)
 
     gx1_square = f.is_square(gx1)
     gx2_square = f.is_square(gx2)
     x = f.select(gx1_square, x1, x3)
     x = f.select(gx2_square & ~gx1_square, x2, x)
-    gx = f.add(f.mul(f.square(x), x), b)
+    gx = g(x)
     y, _ = f.sqrt(gx)
     # select sign: sgn0(y) must equal sgn0(u)
     y = f.select(f.sgn0(u) == f.sgn0(y), y, f.neg(y))

@@ -55,3 +55,17 @@ jax.config.update("jax_threefry_partitionable", True)
 # module boundaries, consistent with executable deallocation + JIT memory
 # reuse being part of the trigger, and re-compiling shared kernels tripled
 # the number of compiles (each one a new chance to crash).
+
+
+_HEAVY_FIRST = ("test_pairing", "test_bw6", "test_tower24", "test_mpcsetup",
+                "test_kzg", "test_shplonk_fflonk", "test_vortex",
+                "test_signatures", "test_towers")
+
+
+def pytest_collection_modifyitems(session, config, items):
+    """Run the compile-heaviest modules first: the XLA:CPU backend_compile
+    segfault is strongly correlated with how much compilation a process has
+    already done, so the big pairing/protocol programs get fresh LLVM state
+    and the cheap modules absorb the late-life risk."""
+    items.sort(key=lambda it: 0 if any(h in it.nodeid for h in _HEAVY_FIRST)
+               else 1)

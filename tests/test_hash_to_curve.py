@@ -2,6 +2,7 @@
 hash_vectors_test.go — cross-library bit-exactness)."""
 
 import numpy as np
+import pytest
 
 from gnark_crypto_tpu.curve.jacobian import curve_ops
 from gnark_crypto_tpu.hashes import hash_to_curve as h2c
@@ -128,3 +129,20 @@ def test_bls12_381_hash_to_g2_vectors():
         got_y = g2.fp.to_int(pt.y)
         assert (got_x[0][0], got_x[1][0]) == px, msg
         assert (got_y[0][0], got_y[1][0]) == py, msg
+
+
+@pytest.mark.parametrize("name", ["secp256k1", "stark", "grumpkin"])
+def test_hash_to_g1_more_curves(name):
+    """SVDW map for the plain curves: on-curve, deterministic, msg-sensitive
+    (constants verified against the RFC 9380 defining relations)."""
+    curve = curve_ops(cs.get_curve(f"{name}_g1"))
+    dst = f"TEST-{name}".encode()
+    p1 = h2c.hash_to_g1(name, b"hello", dst)
+    p2 = h2c.hash_to_g1(name, b"hello", dst)
+    p3 = h2c.hash_to_g1(name, b"world", dst)
+    assert bool(np.asarray(curve.on_curve_affine(p1))[0])
+    assert bool(np.asarray(curve.on_curve_affine(p3))[0])
+    assert np.array_equal(np.asarray(p1.x), np.asarray(p2.x))
+    assert not np.array_equal(np.asarray(p1.x), np.asarray(p3.x))
+    enc = h2c.encode_to_g1(name, b"hello", dst)
+    assert bool(np.asarray(curve.on_curve_affine(enc))[0])
