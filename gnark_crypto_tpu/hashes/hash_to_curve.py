@@ -137,7 +137,7 @@ def map_to_curve_svdw(curve: Curve, u, svdw_key: str | None = None):
 
 def map_to_g1(name_or_spec, u) -> Affine:
     curve = _curve(name_or_spec)
-    if curve.spec.name in ("bls12_381_g1",):
+    if curve.spec.name in ("bls12_381_g1", "bls12_377_g1"):
         from gnark_crypto_tpu.hashes import sswu
         return sswu.map_to_curve_sswu(curve.fp, u, curve.spec.name)
     res = map_to_curve_svdw(curve, u)
@@ -150,6 +150,9 @@ def _clear_cofactor_g1(curve: Curve, pts: Affine) -> Affine:
     if curve.spec.name == "bls12_381_g1":
         from gnark_crypto_tpu.hashes import sswu
         return sswu.clear_cofactor_g1_bls12_381(curve, pts)
+    if curve.spec.name == "bls12_377_g1":
+        from gnark_crypto_tpu.hashes import sswu
+        return sswu.clear_cofactor_g1_bls12_377(curve, pts)
     return pts  # cofactor-1 curves (bn254, grumpkin, ...)
 
 

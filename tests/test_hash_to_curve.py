@@ -146,3 +146,17 @@ def test_hash_to_g1_more_curves(name):
     assert not np.array_equal(np.asarray(p1.x), np.asarray(p3.x))
     enc = h2c.encode_to_g1(name, b"hello", dst)
     assert bool(np.asarray(curve.on_curve_affine(enc))[0])
+
+
+def test_bls12_377_hash_to_g1():
+    """SSWU+2-isogeny for bls12-377: on-curve AND in the r-torsion
+    (validates the cofactor clearing; constants host-validated against
+    the isogeny land-on-E property)."""
+    curve = curve_ops(cs.get_curve("bls12_377_g1"))
+    pt = h2c.hash_to_g1("bls12_377", b"test", b"DST-377")
+    assert bool(np.asarray(curve.on_curve_affine(pt))[0])
+    r = curve.spec.fr.modulus
+    res = curve.scalar_mul(curve.from_affine(pt),
+                           curve.fr.from_int([r], mont=False),
+                           nbits=r.bit_length() + 1)
+    assert bool(np.asarray(curve.is_inf_jac(res))[0])
