@@ -38,7 +38,7 @@ def _enable_cache():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def bench_ntt(n=1 << 20, iters=3):
+def bench_ntt(n=1 << 20, iters=10):
     import jax
     import jax.numpy as jnp
     from gnark_crypto_tpu.ntt import fft as fftm
@@ -61,7 +61,7 @@ def bench_ntt(n=1 << 20, iters=3):
     return n / dt, dt
 
 
-def bench_f31_ntt(n=1 << 20, iters=3):
+def bench_f31_ntt(n=1 << 20, iters=20):
     """koalabear NTT — the small-field tier where 32-bit lanes are native."""
     import jax
     import jax.numpy as jnp
