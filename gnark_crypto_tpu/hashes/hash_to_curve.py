@@ -49,6 +49,13 @@ SVDW = {
         17631683881184975371348829942606096167675058198229016842588,
         14592161914559516814830937163504850059032242933610689562465469457717205663766,
     ),
+    "secp256r1_g1": (  # ecc/secp256r1/hash_to_g1.go (decoded; Z = -3)
+        115792089210356248762697446949407573530086143415290314195533631308867097853948,
+        41058363725152142129326129780047268409114441015993725554835256314039467401273,
+        57896044605178124381348723474703786765043071707645157097766815654433548926977,
+        29559845038651606638686404991023149843030623761509920602511548871339312549878,
+        4490048234673595267206024985241738228247634851107048411448415824105088406854,
+    ),
     "bn254_g2": (
         (1, 0),
         (19485874751759354771024239261021720505790618469301721065564631296452457478374,

@@ -131,7 +131,7 @@ def test_bls12_381_hash_to_g2_vectors():
         assert (got_y[0][0], got_y[1][0]) == py, msg
 
 
-@pytest.mark.parametrize("name", ["secp256k1", "stark", "grumpkin"])
+@pytest.mark.parametrize("name", ["secp256k1", "secp256r1", "stark", "grumpkin"])
 def test_hash_to_g1_more_curves(name):
     """SVDW map for the plain curves: on-curve, deterministic, msg-sensitive
     (constants verified against the RFC 9380 defining relations)."""
