@@ -58,6 +58,8 @@ def _roll_right(x, h):
 
 def _stage_kernel_body(spec, l_pad, hb, dif, x_lo_ref, x_hi_ref, tw_ref,
                        q_ref, o_ref):
+    # tw_ref may be a single broadcast column (transposed-tail stages);
+    # every op in the mul/add/sub helpers broadcasts over lane width
     q = q_ref[:, 0:1]  # (l_pad, 1) broadcasts over any tile width
     is_lo = (pl.program_id(0) % (2 * hb)) < hb
     if dif:
@@ -184,6 +186,92 @@ def _tail_pass(spec: FieldSpec, l_pad: int, x, tw_tail, halves, dif: bool,
     )(x, tw_tail, q_tile)
 
 
+# -- transposed tail: sub-tile stages as tile-aligned stages -----------------
+
+def _ttail_kernel_body(spec, l_pad, hb, dif, tile, W128, x_lo_ref,
+                       x_hi_ref, tw_ref, q_ref, o_ref):
+    q = q_ref[:, 0:1]
+    j = (pl.program_id(0) * tile) // W128   # single j per tile
+    # extract column j as a broadcast column via a masked lane-reduction
+    # (Mosaic cannot lower a dynamic single-lane vector load)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (l_pad, LANES), 1)
+    tw = jnp.sum(jnp.where(lane == j, tw_ref[:], 0), axis=1, keepdims=True)
+    is_lo = (pl.program_id(0) % (2 * hb)) < hb
+    if dif:
+        @pl.when(is_lo)
+        def _():
+            o_ref[:] = _add_tile(spec, l_pad, x_lo_ref[:], x_hi_ref[:], q)
+
+        @pl.when(jnp.logical_not(is_lo))
+        def _():
+            d = _sub_tile(spec, l_pad, x_lo_ref[:], x_hi_ref[:], q)
+            o_ref[:] = _mm_tile(spec, l_pad, d, tw, q)
+    else:
+        t = _mm_tile(spec, l_pad, x_hi_ref[:], tw, q)
+
+        @pl.when(is_lo)
+        def _():
+            o_ref[:] = _add_tile(spec, l_pad, x_lo_ref[:], t, q)
+
+        @pl.when(jnp.logical_not(is_lo))
+        def _():
+            o_ref[:] = _sub_tile(spec, l_pad, x_lo_ref[:], t, q)
+
+
+def _tail_stage_transposed(spec, l_pad, xt, tw128, half, W128, dif,
+                           q_tile, interpret):
+    """One tail stage on the TRANSPOSED layout (element i = c*128 + j sits
+    at lane j*W128 + c, W128 = n/128): the pair stride half*W128 is
+    lane-tile aligned, so lo tiles skip the Montgomery mul entirely —
+    halving the tail's mul count vs the lane-rolled kernel (the fused
+    kernel multiplies every lane at every stage).
+
+    ``tw128``: (l_pad, 128) lane table tw0[(j % half) << s]; each tile
+    spans a single j (tile <= W128), fetched as a broadcast column.
+    """
+    n = xt.shape[1]
+    stride = half * W128
+    tile = min(W128, TILE_W)
+    hb = stride // tile
+
+    def lo_map(t):
+        r2 = t % (2 * hb)
+        return (0, t - jnp.where(r2 >= hb, hb, 0))
+
+    def hi_map(t):
+        r2 = t % (2 * hb)
+        return (0, t + jnp.where(r2 >= hb, 0, hb))
+
+    kern = functools.partial(_ttail_kernel_body, spec, l_pad, hb, dif,
+                             tile, W128)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((l_pad, n), jnp.int32),
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((l_pad, tile), lo_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, tile), hi_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, LANES), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, LANES), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((l_pad, tile), lambda t: (0, t),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xt, xt, tw128, q_tile)
+
+
+def _to_transposed(x, W128):
+    l_pad, n = x.shape
+    return x.reshape(l_pad, W128, LANES).swapaxes(1, 2).reshape(l_pad, n)
+
+
+def _from_transposed(x, W128):
+    l_pad, n = x.shape
+    return x.reshape(l_pad, LANES, W128).swapaxes(1, 2).reshape(l_pad, n)
+
+
 # -- twiddle table preparation (device, cached per domain) -------------------
 
 @functools.lru_cache(maxsize=None)
@@ -215,7 +303,7 @@ def _tables(domain, inverse: bool):
     q_tile = jnp.broadcast_to(jnp.asarray(
         np.asarray(spec.q_limbs + (0,) * (l_pad - L), dtype=np.int32)
         [:, None]), (l_pad, LANES))
-    return big, tail, q_tile, l_pad
+    return big, tail, tuple(tail_vecs), q_tile, l_pad
 
 
 def run_stages_pallas(domain, a, decimation: str, inverse: bool,
@@ -224,24 +312,38 @@ def run_stages_pallas(domain, a, decimation: str, inverse: bool,
     spec = domain.eng.spec
     n, k = domain.n, domain.k
     L = spec.n_limbs
-    big, tail, q_tile, l_pad = _tables(domain, inverse)
+    big, tail, tail_list, q_tile, l_pad = _tables(domain, inverse)
     x = jnp.zeros((l_pad, n), jnp.int32).at[:L, :].set(a.T)
 
     dif = decimation == "DIF"
     tail_halves = tuple(n >> (s + 1) for s in range(k)
                         if (n >> (s + 1)) < LANES)
     big_stages = [s for s in range(k) if (n >> (s + 1)) >= LANES]
+    W128 = n // LANES
+    use_transposed_tail = W128 >= LANES  # tile >= 128 lanes per j
+
+    def tail_fwd(x, dif_dir):
+        if not tail_halves:
+            return x
+        if not use_transposed_tail:
+            return _tail_pass(spec, l_pad, x, tail, tail_halves, dif_dir,
+                              q_tile, interpret)
+        xt = _to_transposed(x, W128)
+        order = (range(len(tail_halves)) if dif_dir
+                 else reversed(range(len(tail_halves))))
+        for i in order:
+            xt = _tail_stage_transposed(spec, l_pad, xt, tail_list[i],
+                                        tail_halves[i], W128, dif_dir,
+                                        q_tile, interpret)
+        return _from_transposed(xt, W128)
+
     if dif:
         for s in big_stages:
             x = _big_stage(spec, l_pad, x, big[s], n >> (s + 1), True,
                            q_tile, interpret)
-        if tail_halves:
-            x = _tail_pass(spec, l_pad, x, tail, tail_halves, True,
-                           q_tile, interpret)
+        x = tail_fwd(x, True)
     else:
-        if tail_halves:
-            x = _tail_pass(spec, l_pad, x, tail, tail_halves, False,
-                           q_tile, interpret)
+        x = tail_fwd(x, False)
         for s in reversed(big_stages):
             x = _big_stage(spec, l_pad, x, big[s], n >> (s + 1), False,
                            q_tile, interpret)
