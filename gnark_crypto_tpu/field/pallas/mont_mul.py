@@ -65,8 +65,7 @@ def _mm_tile(spec: FieldSpec, l_pad: int, x, y, q_col):
     qinv = spec.qinv_neg
     zero_row = jnp.zeros((1, x.shape[1]), jnp.int32)
 
-    unroll = 2
-    assert L % unroll == 0, "limb count must divide the CIOS unroll factor"
+    unroll = 2 if L % 2 == 0 else 1  # odd limb counts (e.g. goldilocks L=5)
 
     def body(i, carry_in):
         t, xr = carry_in
