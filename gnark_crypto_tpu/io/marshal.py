@@ -45,37 +45,52 @@ class PointCodec:
         self.q = self._base_modulus()
         self.nb = self._coord_bytes()
 
-    def _base_modulus(self):
+    def _base_spec(self):
+        """Walk a (possibly nested) extension engine down to the prime
+        field spec (E2 over fp, E4 = E2 over E2 for bls24 G2, ...)."""
         f = self.fp
-        spec = getattr(f, "spec", None)
-        if spec is not None:
-            return spec.modulus
-        return f.base.spec.modulus  # extension engine
+        while not hasattr(f, "spec"):
+            f = f.base
+        return f.spec
+
+    def _base_modulus(self):
+        return self._base_spec().modulus
+
+    def _total_degree(self):
+        f, d = self.fp, 1
+        while hasattr(f, "degree"):
+            d *= f.degree
+            f = f.base
+        return d
 
     def _coord_bytes(self):
-        f = self.fp
-        if hasattr(f, "degree"):  # extension: degree * base bytes
-            return f.degree * f.base.spec.n_bytes
-        return f.spec.n_bytes
+        return self._total_degree() * self._base_spec().n_bytes
+
+    def _zero_coord(self):
+        """Zero coordinate matching the engine's nested-tuple structure."""
+        def z(f):
+            if hasattr(f, "degree"):
+                return tuple(z(f.base) for _ in range(f.degree))
+            return 0
+        return z(self.fp)
 
     # -- host int conversion helpers ---------------------------------------
-    def _coord_to_bytes(self, v) -> bytes:
-        """Field coordinate (int or tuple for E2) -> big-endian bytes,
-        high coefficient first (A1 || A0 for E2, marshal.go G2)."""
+    def _coord_to_bytes(self, v, nb: int | None = None) -> bytes:
+        """Field coordinate (int or nested tuple) -> big-endian bytes,
+        highest coefficient first, recursively (A1 || A0 for E2; for bls24
+        Fp4: B1.A1 || B1.A0 || B0.A1 || B0.A0 — marshal.go G2 Bytes)."""
+        nb = self.nb if nb is None else nb
         if isinstance(v, tuple):
-            nb = self.nb // len(v)
-            return b"".join(c.to_bytes(nb, "big") for c in reversed(v))
-        return v.to_bytes(self.nb, "big")
+            sub = nb // len(v)
+            return b"".join(self._coord_to_bytes(c, sub) for c in reversed(v))
+        return v.to_bytes(nb, "big")
 
-    def _coord_from_bytes(self, b: bytes):
-        f = self.fp
+    def _coord_from_bytes(self, b: bytes, f=None):
+        f = self.fp if f is None else f
         if hasattr(f, "degree"):
-            nb = self.nb // f.degree
-            parts = [int.from_bytes(b[i * nb : (i + 1) * nb], "big")
+            nb = len(b) // f.degree
+            parts = [self._coord_from_bytes(b[i * nb : (i + 1) * nb], f.base)
                      for i in range(f.degree)]
-            for p_ in parts:
-                if p_ >= self.q:
-                    raise MarshalError("non-canonical coordinate")
             return tuple(reversed(parts))
         v = int.from_bytes(b, "big")
         if v >= self.q:
@@ -83,25 +98,21 @@ class PointCodec:
         return v
 
     def _lex_largest(self, v) -> bool:
-        """Lexicographic order; E2: A1 first, tie-break on A0 (fptower E2)."""
+        """Recursive lexicographic order (fptower LexicographicallyLargest):
+        decide on the highest nonzero coefficient, any extension degree
+        (E2, Fp4 for bls24 G2, nested towers)."""
         if isinstance(v, tuple):
-            a0, a1 = v
-            if a1 != 0:
-                return _lex_largest_int(a1, self.q)
-            return _lex_largest_int(a0, self.q)
+            for c in reversed(v):
+                if not _is_zero_coord(c):
+                    return self._lex_largest(c)
+            return False
         return _lex_largest_int(v, self.q)
 
     def _coords_list(self, arr):
-        """Engine to_int output -> list of per-point coords (int or tuple).
-
-        Extension engines return structure-of-arrays (tuple of lists)."""
-        f = self.fp
-        v = f.to_int(arr)
-        if hasattr(f, "degree"):
-            if isinstance(v[0], list):
-                return [tuple(v[d][i] for d in range(f.degree))
-                        for i in range(len(v[0]))]
-            return [v]
+        """Engine to_int output -> list of per-point coords (int or nested
+        tuple). Extension engines return structure-of-arrays (nested tuples
+        of lists for nested towers); transpose recursively."""
+        v = _soa_to_aos(self.fp.to_int(arr))
         return v if isinstance(v, list) else [v]
 
     # -- encode -------------------------------------------------------------
@@ -147,8 +158,7 @@ class PointCodec:
             if m == M_COMPRESSED_INFINITY:
                 if any(buf[1 : self.nb]) or (buf[0] & ~M_MASK):
                     raise MarshalError("invalid infinity encoding")
-                xs.append(0 if not hasattr(f, "degree")
-                          else (0,) * f.degree)
+                xs.append(self._zero_coord())
                 ys.append(xs[-1])
                 want_largest.append(False)
                 need_y.append(False)
@@ -165,7 +175,7 @@ class PointCodec:
                 want_largest.append(False)
                 need_y.append(False)
             elif m in (M_COMPRESSED_SMALLEST, M_COMPRESSED_LARGEST):
-                ys.append(0 if not hasattr(f, "degree") else (0,) * f.degree)
+                ys.append(self._zero_coord())
                 want_largest.append(m == M_COMPRESSED_LARGEST)
                 need_y.append(True)
             else:
@@ -223,4 +233,17 @@ class PointCodec:
 
 
 def _is_zero_coord(v) -> bool:
-    return all(c == 0 for c in v) if isinstance(v, tuple) else v == 0
+    if isinstance(v, tuple):
+        return all(_is_zero_coord(c) for c in v)
+    return v == 0
+
+
+def _soa_to_aos(v):
+    """Structure-of-arrays (nested tuples of per-coefficient lists) ->
+    list of per-element nested tuples; passes scalars through."""
+    if isinstance(v, tuple):
+        subs = [_soa_to_aos(c) for c in v]
+        if isinstance(subs[0], list):
+            return [tuple(s[i] for s in subs) for i in range(len(subs[0]))]
+        return tuple(subs)
+    return v

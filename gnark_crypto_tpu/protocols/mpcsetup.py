@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import hashlib
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -119,15 +120,29 @@ def _lincomb_g2(name, pts: Affine, coeffs: list[int]) -> Affine:
     return g2c.to_affine(acc)
 
 
+def _fresh_fold_coeff(r: int, rng) -> int:
+    """Sample the random fold coefficient at verification time, as the
+    reference does (powersOfRandom -> SetRandom, mpcsetup.go:276).
+
+    It MUST be unpredictable to the contributor: a coefficient derived
+    from transcript data the contributor saw before contributing lets a
+    malicious update satisfy the single folded same-ratio check without
+    being a well-formed chain.  `rng` is a CSPRNG callable
+    ``nbytes -> bytes`` (defaults to os.urandom)."""
+    while True:
+        a = int.from_bytes(rng(48), "big") % r
+        if a != 0:
+            return a
+
+
 def verify_update(name: str, proof: UpdateProof, challenge: bytes, dst: int,
                   g1_prev: Affine | None, g1_next: Affine | None,
                   g2_prev: Affine | None = None, g2_next: Affine | None = None,
-                  rand_seed: bytes = b"verify") -> bool:
+                  rng=os.urandom) -> bool:
     """mpcsetup.go:93 Verify: PoK + folded same-ratio consistency checks.
 
-    The random fold coefficients come from a seed (the reference samples
-    them; determinism here keeps tests reproducible — any unpredictable
-    seed preserves soundness)."""
+    The random fold coefficients are sampled fresh (CSPRNG) at
+    verification time — never derived from transcript data."""
     g1c = _g1(name)
     r = g1c.spec.fr.modulus
     base = _pok_base(name, proof.commitment, challenge, dst)
@@ -138,7 +153,7 @@ def verify_update(name: str, proof: UpdateProof, challenge: bytes, dst: int,
         return False
     n_fold = max(g1_prev.x.shape[0] if g1_prev is not None else 0,
                  g2_prev.x.shape[0] if g2_prev is not None else 0)
-    a = int.from_bytes(hashlib.sha256(rand_seed).digest(), "big") % r
+    a = _fresh_fold_coeff(r, rng)
     powers = [pow(a, i, r) for i in range(n_fold)]
     if g1_prev is not None:
         prev = _lincomb_g1(name, g1_prev, powers[: g1_prev.x.shape[0]])
@@ -223,7 +238,7 @@ def contribute(s: KzgMpcSetup, tau: int) -> KzgMpcSetup:
     return s
 
 
-def verify_setup(prev: KzgMpcSetup, new: KzgMpcSetup) -> bool:
+def verify_setup(prev: KzgMpcSetup, new: KzgMpcSetup, rng=os.urandom) -> bool:
     """kzg/mpcsetup.go Verify: PoK + monomial-chain well-formedness.
 
     Checks (a) the contribution PoK against tau1*G2 (the first updated
@@ -251,8 +266,7 @@ def verify_setup(prev: KzgMpcSetup, new: KzgMpcSetup) -> bool:
     # chain well-formedness: fold A[:-1] and A[1:] with random powers and
     # check sameRatio(shifted, truncated, tau G2, G2)
     n = new.g1_powers.x.shape[0]
-    a = int.from_bytes(hashlib.sha256(challenge + b"chain").digest(),
-                       "big") % r
+    a = _fresh_fold_coeff(r, rng)
     powers = [pow(a, i, r) for i in range(n - 1)]
     truncated = _lincomb_g1(
         name, Affine(new.g1_powers.x[:-1], new.g1_powers.y[:-1]), powers)

@@ -107,8 +107,19 @@ class ECDSA:
         n = self.order
         if not (0 < sig.r < n and 0 < sig.s < n):
             return False
+        # Public-key validation: reject the point at infinity explicitly
+        # (on_curve_affine admits (0,0) via its infinity clause) and, for
+        # cofactor > 1 curves, points outside the prime-order subgroup.
+        if bool(np.asarray(self.curve.is_inf_affine(pub.q))[0]):
+            return False
         if not bool(np.asarray(self.curve.on_curve_affine(pub.q))[0]):
             return False
+        if getattr(self.spec, "cofactor", 1) != 1:
+            k = self.curve.fr.from_int([n], mont=False)
+            rn = self.curve.scalar_mul(self.curve.from_affine(pub.q), k,
+                                       nbits=n.bit_length() + 1)
+            if not bool(np.asarray(self.curve.is_inf_jac(rn))[0]):
+                return False
         h = hash_to_int(hasher(msg).digest(), n)
         w = pow(sig.s, -1, n)
         u1 = h * w % n

@@ -83,8 +83,26 @@ class EdDSA:
         s = (r_int + hram * int.from_bytes(priv.scalar, "big")) % order
         return Signature(r_pt, s.to_bytes(self.nb, "big"))
 
+    def _reject_malleable(self, sig: Signature) -> None:
+        """Anti-malleability checks matching eddsa/marshal.go SetBytes:
+        reject S == 0 or S >= order (s + k*order would verify identically),
+        and reject R == identity (zero R)."""
+        s_int = int.from_bytes(sig.s, "big")
+        if s_int == 0 or s_int >= self.curve.spec.order:
+            raise ValueError("eddsa: non-canonical S (malleable signature)")
+        f = self.curve.f
+        rx, ry = f.to_int(sig.r.x), f.to_int(sig.r.y)
+        if isinstance(rx, list):
+            rx, ry = rx[0], ry[0]
+        if rx == 0 and ry == 1:
+            raise ValueError("eddsa: R is the identity point")
+
     def verify(self, pub: PublicKey, sig: Signature, msg: bytes) -> bool:
         curve = self.curve
+        try:
+            self._reject_malleable(sig)
+        except ValueError:
+            return False
         if not bool(np.asarray(curve.on_curve_affine(pub.a))[0]):
             return False
         if not bool(np.asarray(curve.on_curve_affine(sig.r))[0]):
@@ -110,7 +128,9 @@ class EdDSA:
 
     def signature_from_bytes(self, buf: bytes) -> Signature:
         r = self.curve.point_from_bytes([buf[: self.nb]])
-        return Signature(r, buf[self.nb : 2 * self.nb])
+        sig = Signature(r, buf[self.nb : 2 * self.nb])
+        self._reject_malleable(sig)
+        return sig
 
     def public_key_to_bytes(self, pub: PublicKey) -> bytes:
         return self.curve.point_to_bytes(pub.a)[0]

@@ -261,26 +261,28 @@ class QuadExtEngine(ExtEngine):
         return s0 | (z0.astype(_jnp.int32) & f.sgn0(a1))
 
     def sqrt(self, a):
-        """Square root in Fp2 over a prime base (complex method; reference
-        e2.go Sqrt). Returns (root, has_root); all branches masked so one
-        schedule serves the batch. Requires integer nr (quadratic ext of fp).
-        """
-        assert isinstance(self.nr, int), "sqrt only on quadratic ext of fp"
+        """Square root by the complex method (reference e2.go Sqrt),
+        generalized to any base carrying sqrt/is_square (so it serves Fp2
+        over fp AND Fp4 over Fp2, for bls24 G2 decompression). Returns
+        (root, has_root); all branches masked so one schedule serves the
+        batch."""
         f = self.base
         sh = f.eshape(self.coeff(a, 0))
         a0, a1 = self.coeff(a, 0), self.coeff(a, 1)
         norm = f.sub(f.square(a0), self.mul_by_nr(f.square(a1)))
         lam, _ = f.sqrt(norm)
         delta = f.halve(f.add(a0, lam))
-        one = f.broadcast_to(f.ones(), sh)
-        is_sq = f.equal(f.legendre(delta), one) | f.is_zero(delta)
+        is_sq = f.is_square(delta) | f.is_zero(delta)
         delta = f.select(is_sq, delta, f.halve(f.sub(a0, lam)))
         x0, _ = f.sqrt(delta)
         x1 = f.mul(a1, f.inverse(f.double(x0)))
         cand = self.build([x0, x1])
         # a1 == 0: either sqrt(a0) directly or sqrt(a0/nr)*u
-        p = f.spec.modulus
-        inv_nr = f.broadcast_to(f.from_int(pow(self.nr % p, -1, p)), sh)
+        if isinstance(self.nr, int):
+            p = f.spec.modulus
+            inv_nr = f.broadcast_to(f.from_int(pow(self.nr % p, -1, p)), sh)
+        else:
+            inv_nr = f.broadcast_to(f.inverse(f.from_int(self.nr)), sh)
         s0, s0ok = f.sqrt(a0)
         s1, _ = f.sqrt(f.mul(a0, inv_nr))
         zero = f.zeros(sh)

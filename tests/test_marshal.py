@@ -91,6 +91,24 @@ def test_g2_roundtrip():
         assert np.array_equal(np.asarray(dec.y), np.asarray(pts.y))
 
 
+def test_bls24_g2_roundtrip_degree4():
+    """Compressed roundtrip over an Fp4 (degree-4) coordinate field —
+    regression for _lex_largest only handling pairs (ADVICE r1)."""
+    g2 = g2_curve("bls24_315")
+    codec = marshal.PointCodec(g2)
+    e4 = g2.fp
+    g = g2.generator_affine()
+    base = g2.from_affine(Affine(e4.broadcast_to(g.x, (3,)),
+                                 e4.broadcast_to(g.y, (3,))))
+    k = g2.fr.from_int([1, 2, 5], mont=False)
+    pts = g2.to_affine(g2.scalar_mul(base, k, nbits=4))
+
+    comp = codec.to_bytes(pts)
+    dec = codec.from_bytes(comp, subgroup_check=False)
+    assert np.array_equal(np.asarray(dec.x), np.asarray(pts.x))
+    assert np.array_equal(np.asarray(dec.y), np.asarray(pts.y))
+
+
 def test_e2_sqrt():
     from gnark_crypto_tpu.towers.tower12 import get_tower
 

@@ -48,6 +48,47 @@ def test_eddsa_sign_verify(name):
     assert ed.verify(pub2, sig, msg)
 
 
+def test_eddsa_rejects_malleable_signature():
+    """Anti-malleability (eddsa/marshal.go SetBytes): s+order / s=0 /
+    identity-R signatures must be rejected, not verified."""
+    ed = EdDSA("bn254")
+    priv = ed.generate_key(b"\x02" * 32)
+    msg = (7).to_bytes(32, "big")
+    sig = ed.sign(priv, msg)
+    order = ed.curve.spec.order
+    s_int = int.from_bytes(sig.s, "big")
+    # s + order verifies identically mod order -> must be rejected
+    mall = type(sig)(sig.r, (s_int + order).to_bytes(ed.nb, "big"))
+    assert not ed.verify(priv.public_key, mall, msg)
+    with pytest.raises(ValueError):
+        ed.signature_from_bytes(ed.signature_to_bytes(mall))
+    # s == 0
+    zero = type(sig)(sig.r, (0).to_bytes(ed.nb, "big"))
+    assert not ed.verify(priv.public_key, zero, msg)
+    with pytest.raises(ValueError):
+        ed.signature_from_bytes(ed.signature_to_bytes(zero))
+    # identity R
+    c = ed.curve
+    ident = c.to_affine(c.scalar_mul_int(
+        c.from_affine(c.generator_affine((1,))), [order]))
+    assert not ed.verify(priv.public_key, type(sig)(ident, sig.s), msg)
+
+
+def test_ecdsa_rejects_infinity_pubkey():
+    """Public-key validation: the point at infinity must not verify
+    (standard ECDSA key validation; ADVICE r1)."""
+    from gnark_crypto_tpu.curve.jacobian import Affine
+    from gnark_crypto_tpu.signature.ecdsa import PublicKey
+
+    e = ECDSA("secp256k1_g1")
+    priv = e.generate_key(b"seed")
+    msg = b"msg"
+    sig = e.sign(msg, priv)
+    c = e.curve
+    inf = PublicKey(Affine(c.fp.zeros((1,)), c.fp.zeros((1,))))
+    assert not e.verify(msg, sig, inf)
+
+
 @pytest.mark.parametrize("curve", ["secp256k1_g1", "bn254_g1", "stark_g1",
                                    "secp256r1_g1"])
 def test_ecdsa_sign_verify(curve):
