@@ -198,18 +198,30 @@ def _use_pallas(domain: Domain, a):
 
 
 def _run(domain: Domain, a, decimation: Decimation, inverse: bool):
-    """Stage dispatcher: Pallas passes on TPU (multi-limb + f31),
-    gather-stage kernels otherwise on TPU, fused XLA graph on CPU."""
+    """Stage dispatcher. Preference order on TPU: four-step Pallas
+    (per-tile-constant twiddles — see pallas_ntt4), radix-2 Pallas passes,
+    gather-stage kernels; fused XLA graph on CPU.
+
+    Returns (out, scale_folded): the four-step inverse path folds the 1/n
+    scale into its untwist table, so callers must skip the separate scale
+    multiply when scale_folded is True."""
+    import jax as _jax
+
+    if _jax.default_backend() == "tpu":
+        from gnark_crypto_tpu.ntt import pallas_ntt4
+        if pallas_ntt4.supported(domain, a, decimation, inverse):
+            return (pallas_ntt4.run_stages_four_step(
+                domain, a, decimation, inverse), inverse)
     runner = _use_pallas(domain, a)
     if runner is not None:
-        return runner(domain, a, decimation, inverse)
+        return runner(domain, a, decimation, inverse), False
     if _use_staged(domain, a):
-        return _run_stages(domain, a, decimation, inverse)
+        return _run_stages(domain, a, decimation, inverse), False
     eng = domain.eng
     tw = lambda s: domain.stage_twiddles(s, inverse=inverse)
     if decimation == DIF:
-        return _dif_stages(eng, a, tw, domain.k)
-    return _dit_stages(eng, a, tw, domain.k)
+        return _dif_stages(eng, a, tw, domain.k), False
+    return _dit_stages(eng, a, tw, domain.k), False
 
 
 def fft(domain: Domain, a: jax.Array, decimation: Decimation = DIF,
@@ -223,7 +235,8 @@ def fft(domain: Domain, a: jax.Array, decimation: Decimation = DIF,
         if decimation == DIT:
             table = bit_reverse(table)
         a = eng.mul(a, table)
-    return _run(domain, a, decimation, inverse=False)
+    out, _ = _run(domain, a, decimation, inverse=False)
+    return out
 
 
 def fft_inverse(domain: Domain, a: jax.Array, decimation: Decimation = DIF,
@@ -232,14 +245,14 @@ def fft_inverse(domain: Domain, a: jax.Array, decimation: Decimation = DIF,
     eng = domain.eng
     n = domain.n
     assert a.shape[0] == n
-    a = _run(domain, a, decimation, inverse=True)
+    a, scale_folded = _run(domain, a, decimation, inverse=True)
     card_inv = eng.broadcast_to(domain.cardinality_inv, (1,))
     if not coset:
-        return eng.mul(a, card_inv)
+        return a if scale_folded else eng.mul(a, card_inv)
     table = domain.coset_table_inv
     if decimation == DIF:
         table = bit_reverse(table)
-    scale = eng.mul(table, card_inv)
+    scale = table if scale_folded else eng.mul(table, card_inv)
     return eng.mul(a, scale)
 
 

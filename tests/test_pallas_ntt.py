@@ -41,6 +41,47 @@ def test_pallas_stages_match_xla(dom, data, decimation, inverse):
     assert np.array_equal(np.asarray(got), np.asarray(ref))
 
 
+# -- four-step (per-tile-constant twiddles) ---------------------------------
+
+N4 = 1 << 14  # smallest size with S1 = S2 = 128
+
+
+@pytest.fixture(scope="module")
+def dom4():
+    return Domain(fs.BN254_FR, N4, with_coset=False)
+
+
+@pytest.fixture(scope="module")
+def data4(dom4):
+    eng = for_spec(fs.BN254_FR)
+    rng = random.Random(13)
+    return eng.from_int([rng.randrange(fs.BN254_FR.modulus)
+                         for _ in range(N4)])
+
+
+def test_four_step_dif_forward(dom4, data4):
+    from gnark_crypto_tpu.ntt.pallas_ntt4 import run_stages_four_step
+
+    eng = dom4.eng
+    tw = lambda s: dom4.stage_twiddles(s, inverse=False)
+    ref = fft_mod._dif_stages(eng, data4, tw, dom4.k)
+    got = run_stages_four_step(dom4, data4, "DIF", False, interpret=True)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_four_step_dit_inverse_scale_folded(dom4, data4):
+    from gnark_crypto_tpu.ntt.pallas_ntt4 import run_stages_four_step
+
+    eng = dom4.eng
+    spec = fs.BN254_FR
+    tw = lambda s: dom4.stage_twiddles(s, inverse=True)
+    ref = fft_mod._dit_stages(eng, data4, tw, dom4.k)
+    n_inv = eng.broadcast_to(eng.from_int(pow(N4, -1, spec.modulus)), (N4,))
+    ref = eng.mul(ref, n_inv)  # four-step folds 1/n into the untwist table
+    got = run_stages_four_step(dom4, data4, "DIT", True, interpret=True)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
 # -- f31 (koalabear) --------------------------------------------------------
 
 N31 = 4096  # k=12: two lane-aligned stages + full 10-stage fused tail
