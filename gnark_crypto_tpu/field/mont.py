@@ -225,6 +225,21 @@ def _mul_unrolled(spec: FieldSpec, x, y):
     return t
 
 
+def _use_pallas_mul(spec: FieldSpec, x, y) -> bool:
+    """Route big batches to the Pallas kernel on TPU: the limbs-in-sublanes
+    CIOS kernel runs ~250M muls/s vs ~27M for the XLA limb loop; below the
+    threshold the relayout + dispatch overheads dominate."""
+    import jax as _jax
+
+    if _jax.default_backend() != "tpu":
+        return False
+    shape = jnp.broadcast_shapes(x.shape[:-1], y.shape[:-1])
+    n = 1
+    for d in shape:
+        n *= d
+    return n >= 2048
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def mul(spec: FieldSpec, x, y, unroll: bool | None = None):
     """Montgomery product x*y*R^-1 mod q, lazy-carry operand-scan CIOS.
@@ -232,7 +247,16 @@ def mul(spec: FieldSpec, x, y, unroll: bool | None = None):
     Per limb i: t += x_i*y; m = t_0*qinv mod 2^b; t += m*q; t >>= b.
     Limb accumulations stay < 2L*(2^b-1)^2 < 2^31 (enforced by the spec
     registry). Reference: ``element_amd64.go:46-52`` / ``element.go:478``.
+    Large batches on TPU dispatch to the Pallas kernel
+    (``field/pallas/mont_mul.py``), the asm tier of this engine.
     """
+    if _use_pallas_mul(spec, x, y):
+        from gnark_crypto_tpu.field.pallas.mont_mul import mont_mul
+        L = spec.n_limbs
+        shape = jnp.broadcast_shapes(x.shape[:-1], y.shape[:-1])
+        xb = jnp.broadcast_to(x, (*shape, L)).reshape(-1, L)
+        yb = jnp.broadcast_to(y, (*shape, L)).reshape(-1, L)
+        return mont_mul(spec, xb, yb).reshape(*shape, L)
     if unroll is None:
         unroll = _unroll_default()
     t = _mul_unrolled(spec, x, y) if unroll else _mul_loop(spec, x, y)

@@ -67,6 +67,35 @@ SVDW = {
         (10499238450719652342378357227399831140106360636427411350395554762472100376473,
          6940174569119770192419592065569379906172001098655407502803841283667998553941),
     ),
+    # bls24 G2: SVDW over E4, nested ((B0.A0, B0.A1), (B1.A0, B1.A1))
+    # (ecc/bls24-315/hash_to_g2.go:20-36 — note c4 is never assigned there,
+    # i.e. ZERO: replicated for bit parity; ecc/bls24-317/hash_to_g2.go:20-35)
+    "bls24_315_g2": (
+        ((1, 0), (1, 0)),
+        ((1, 1),
+         (2, 6108483493771298205388567675447533806912846525679192205394505462405828322019437284165171866703)),
+        ((19852571354756719167512844945204484872466751208457374667532142752818942046563171173536808566784, 0),
+         (19852571354756719167512844945204484872466751208457374667532142752818942046563171173536808566784, 0)),
+        ((14181901575451930365156064137229663961789100070994427419777314377609453770227083005360995137239,
+          38867788984497805540592493226397363174027239449768861944710564870925669104016488974244557160817),
+         (7207770078990411004130237352587865513334954456592365258287987262730492706089979112564450405406,
+          11314632945591044023254019576500732396578160594635551958097682961894415495755352199773541527735)),
+        ((0, 0), (0, 0)),
+    ),
+    "bls24_317_g2": (
+        ((1, 0), (1, 0)),
+        ((4, 3), (8, 1)),
+        ((68196535552147955757549882954137028530972556060709796988605069651952986598616012809013078365525, 0),
+         (68196535552147955757549882954137028530972556060709796988605069651952986598616012809013078365525, 0)),
+        ((25710473854271083900266173357439657657737168361084633536126117969329631844210973452609964652920,
+          97726383423614678023078817471231282096435936120492353286347028233584612721291548146704405526838),
+         (31017010388646627031356727289998252571046265059138887207088052022600004087627603083210545186274,
+          74637498440051236880963727555084502172097851690589624852957691761203766904143491322222931488114)),
+        ((136393071104295911515099765908274057061945112121419593977210139303905973197232025618026156731039,
+          90928714069530607676733177272182704707963408080946395984806759535937315464821350412017437820690),
+         (90928714069530607676733177272182704707963408080946395984806759535937315464821350412017437820710,
+          90928714069530607676733177272182704707963408080946395984806759535937315464821350412017437820706)),
+    ),
 }
 
 
@@ -142,9 +171,13 @@ def map_to_curve_svdw(curve: Curve, u, svdw_key: str | None = None):
     return Affine(x, y)
 
 
+_SSWU_G1 = ("bls12_381_g1", "bls12_377_g1", "bls24_315_g1", "bls24_317_g1",
+            "bw6_761_g1", "bw6_633_g1")
+
+
 def map_to_g1(name_or_spec, u) -> Affine:
     curve = _curve(name_or_spec)
-    if curve.spec.name in ("bls12_381_g1", "bls12_377_g1"):
+    if curve.spec.name in _SSWU_G1:
         from gnark_crypto_tpu.hashes import sswu
         return sswu.map_to_curve_sswu(curve.fp, u, curve.spec.name)
     res = map_to_curve_svdw(curve, u)
@@ -154,12 +187,18 @@ def map_to_g1(name_or_spec, u) -> Affine:
 
 
 def _clear_cofactor_g1(curve: Curve, pts: Affine) -> Affine:
-    if curve.spec.name == "bls12_381_g1":
-        from gnark_crypto_tpu.hashes import sswu
+    name = curve.spec.name
+    from gnark_crypto_tpu.hashes import sswu
+    if name == "bls12_381_g1":
         return sswu.clear_cofactor_g1_bls12_381(curve, pts)
-    if curve.spec.name == "bls12_377_g1":
-        from gnark_crypto_tpu.hashes import sswu
+    if name == "bls12_377_g1":
         return sswu.clear_cofactor_g1_bls12_377(curve, pts)
+    if name in ("bls24_315_g1", "bls24_317_g1"):
+        return sswu.clear_cofactor_g1_bls24(curve, pts, name[:-3])
+    if name == "bw6_761_g1":
+        return sswu.clear_cofactor_bw6_761(curve, pts, g2=False)
+    if name == "bw6_633_g1":
+        return sswu.clear_cofactor_bw6_633(curve, pts, g2=False)
     return pts  # cofactor-1 curves (bn254, grumpkin, ...)
 
 
@@ -195,13 +234,25 @@ def hash_to_g1(name: str, msg: bytes, dst: bytes) -> Affine:
 # ---------------------------------------------------------------------------
 
 def hash_to_field_e2(name: str, msg: bytes, dst: bytes, count: int):
-    """count E2 elements (2 base elements each, fptower.Hash)."""
+    """count coordinate-field elements for G2 (fptower.Hash): E2 pairs,
+    E4 nested pairs (bls24), or plain fp (bw6)."""
     from gnark_crypto_tpu.curve.g2 import g2_curve
 
     g2 = g2_curve(name)
     base_spec = g2.spec.fp
-    flat = hash_to_field(base_spec, msg, dst, 2 * count)
-    return [(flat[2 * i], flat[2 * i + 1]) for i in range(count)]
+    if not hasattr(g2.fp, "degree"):       # bw6: G2 over fp
+        return hash_to_field(base_spec, msg, dst, count)
+    deg = 1
+    f = g2.fp
+    while hasattr(f, "degree"):
+        deg *= f.degree
+        f = f.base
+    flat = hash_to_field(base_spec, msg, dst, deg * count)
+    if deg == 2:
+        return [(flat[2 * i], flat[2 * i + 1]) for i in range(count)]
+    assert deg == 4  # bls24: E4 nested ((B0.A0, B0.A1), (B1.A0, B1.A1))
+    return [((flat[4 * i], flat[4 * i + 1]),
+             (flat[4 * i + 2], flat[4 * i + 3])) for i in range(count)]
 
 
 def _psi(name: str, pts: Affine) -> Affine:
@@ -220,9 +271,35 @@ def clear_cofactor_g2(name: str, pts: Affine) -> Affine:
     from gnark_crypto_tpu.curve.g2 import g2_curve
     from gnark_crypto_tpu.pairing.pairing12 import get_ctx
 
+    from gnark_crypto_tpu.hashes import sswu
+
     if name == "bls12_381":
-        from gnark_crypto_tpu.hashes import sswu
         return sswu.clear_cofactor_g2_bls12_381(g2_curve(name), pts)
+    if name == "bls12_377":
+        # same eprint 2017/419 §4.1 formula, positive seed
+        # (ecc/bls12-377/g2.go:935-960)
+        from gnark_crypto_tpu.pairing.pairing12 import get_ctx as _gc
+        from gnark_crypto_tpu.specs.curve import get_curve
+
+        g2 = g2_curve(name)
+        ctx = _gc(name)
+        w = get_curve("bls12_377_g1").glv_third_root
+
+        def psi2_x_mul(d):
+            e2, fp = g2.fp, g2.fp.base
+            wc = fp.broadcast_to(fp.from_int(w), fp.eshape(e2.coeff(d.x, 0)))
+            wx = e2.build([fp.mul(e2.coeff(d.x, 0), wc),
+                           fp.mul(e2.coeff(d.x, 1), wc)])
+            return Jac(wx, d.y, d.z)
+
+        return sswu.clear_cofactor_g2_2017_419(
+            g2, pts, ctx.seed, False, lambda t: _psi(name, t), psi2_x_mul)
+    if name in ("bls24_315", "bls24_317"):
+        return sswu.clear_cofactor_g2_bls24(name, g2_curve(name), pts)
+    if name == "bw6_761":
+        return sswu.clear_cofactor_bw6_761(g2_curve(name), pts, g2=True)
+    if name == "bw6_633":
+        return sswu.clear_cofactor_bw6_633(g2_curve(name), pts, g2=True)
 
     g2 = g2_curve(name)
     ctx = get_ctx(name)
@@ -245,9 +322,9 @@ def map_to_g2(name: str, u) -> Affine:
     from gnark_crypto_tpu.curve.g2 import g2_curve
 
     g2 = g2_curve(name)
-    if name == "bls12_381":
+    if name in ("bls12_381", "bls12_377", "bw6_761", "bw6_633"):
         from gnark_crypto_tpu.hashes import sswu
-        return sswu.map_to_curve_sswu(g2.fp, u, "bls12_381_g2")
+        return sswu.map_to_curve_sswu(g2.fp, u, f"{name}_g2")
     return map_to_curve_svdw(g2, u, svdw_key=f"{name}_g2")
 
 

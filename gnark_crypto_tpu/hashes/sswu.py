@@ -154,6 +154,8 @@ _B377_YDEN = (
     485697889589476316451350178843824863589071768324262996868823723576275215629808771278880756465676,
 )
 
+from gnark_crypto_tpu.hashes import sswu_tables as _tab
+
 SSWU = {
     "bls12_381_g1": dict(A=_G1_A, B=_G1_B, Z=_G1_Z, xnum=_G1_XNUM,
                          xden=_G1_XDEN, ynum=_G1_YNUM, yden=_G1_YDEN),
@@ -161,6 +163,13 @@ SSWU = {
                          xden=_G2_XDEN, ynum=_G2_YNUM, yden=_G2_YDEN),
     "bls12_377_g1": dict(A=_B377_A, B=_B377_B, Z=_B377_Z, xnum=_B377_XNUM,
                          xden=_B377_XDEN, ynum=_B377_YNUM, yden=_B377_YDEN),
+    "bls12_377_g2": _tab.BLS12_377_G2,
+    "bls24_315_g1": _tab.BLS24_315_G1,
+    "bls24_317_g1": _tab.BLS24_317_G1,
+    "bw6_761_g1": _tab.BW6_761_G1,
+    "bw6_761_g2": _tab.BW6_761_G2,
+    "bw6_633_g1": _tab.BW6_633_G1,
+    "bw6_633_g2": _tab.BW6_633_G2,
 }
 
 
@@ -293,4 +302,228 @@ def clear_cofactor_g1_bls12_377(curve, pts: Affine) -> Affine:
     xq = curve.scalar_mul(curve.from_affine(pts), k,
                           nbits=_BLS12_377_SEED.bit_length())
     res = curve.add(curve.neg_jac(xq), curve.from_affine(pts))
+    return curve.to_affine(res)
+
+
+# ---------------------------------------------------------------------------
+# generic small-multiple helpers (host-int scalars, device ladders)
+# ---------------------------------------------------------------------------
+
+def _mul_int(g, p: Jac, k: int) -> Jac:
+    """[|k|]P with sign (mulWindowed / mulBySeed analogue)."""
+    if k == 0:
+        return g.inf_jac(g.fp.eshape(p.x))
+    sh = g.fp.eshape(p.x)
+    n = sh[0] if sh else 1
+    r = g.scalar_mul(p, g.fr.from_int([abs(k)] * n, mont=False),
+                     nbits=abs(k).bit_length())
+    return g.neg_jac(r) if k < 0 else r
+
+
+def clear_cofactor_g2_2017_419(g2, pts: Affine, seed: int, seed_neg: bool,
+                               psi_fn, psi2_x_mul) -> Affine:
+    """Shared eprint 2017/419 §4.1 G2 clearing (bls12-381 AND bls12-377,
+    reference g2.go ClearCofactor):
+
+        res = [x^2]P - [x]P - P + psi([x]P - P) - psi2([2]P)
+
+    ``psi_fn(Affine) -> Affine``; ``psi2_x_mul(Jac) -> Jac`` applies the
+    X *= thirdRootOneG1 psi^2 shortcut."""
+    x_signed = -seed if seed_neg else seed
+
+    def mul_by_x(q: Affine) -> Affine:
+        return g2.to_affine(_mul_int(g2, g2.from_affine(q), x_signed))
+
+    xg = mul_by_x(pts)
+    xxg = mul_by_x(xg)
+    res = g2.add(g2.from_affine(xxg), g2.neg_jac(g2.from_affine(xg)))
+    res = g2.add(res, g2.neg_jac(g2.from_affine(pts)))
+    t = g2.to_affine(g2.add(g2.from_affine(xg),
+                            g2.neg_jac(g2.from_affine(pts))))
+    res = g2.add(res, g2.from_affine(psi_fn(t)))
+    res = g2.add(res, g2.neg_jac(psi2_x_mul(
+        g2.double(g2.from_affine(pts)))))
+    return g2.to_affine(res)
+
+
+# ---------------------------------------------------------------------------
+# BLS24: G1 clearing + psi-based G2 clearing over E4
+# ---------------------------------------------------------------------------
+
+_BLS24_SEED = {"bls24_315": 3218079743, "bls24_317": 3640754176}
+
+# psi endomorphism constants (bls24-315.go:153-154 / bls24-317.go:139-142),
+# nested E4 = ((B0.A0, B0.A1), (B1.A0, B1.A1))
+_BLS24_ENDO = {
+    "bls24_315": (
+        ((17432737665785421589107433512831558061649422754130449334965277047994983947893909429238815314776, 0), (0, 0)),
+        ((13266452002786802757645810648664867986567631927642464177452792960815113608167203350720036682455, 0), (0, 0)),
+    ),
+    "bls24_317": (
+        ((100835231576138384070271140557450756773581004948002542492497192760544145876107391019725843007951,
+          100835231576138384070271140557450756773581004948002542492497192760544145876107391019725843007951), (0, 0)),
+        ((0, 0),
+         (65063930028143676778466901566890018271632055221368035552739808236464024322431728149960968101,
+          65063930028143676778466901566890018271632055221368035552739808236464024322431728149960968101)),
+    ),
+}
+
+
+def clear_cofactor_g1_bls24(curve, pts: Affine, name: str) -> Affine:
+    """res = mulBySeed(P) + P (reference bls24 g1.go ClearCofactor,
+    eprint 2019/403 §5)."""
+    res = _mul_int(curve, curve.from_affine(pts), _BLS24_SEED[name])
+    return curve.to_affine(curve.add(res, curve.from_affine(pts)))
+
+
+def _psi_bls24(name: str, g2, p: Jac) -> Jac:
+    """psi(Q) on E4-coordinate G2 Jacobians: Frobenius on each coordinate
+    (tower24._phi device map) times endo.u/v (bls24 g2.go psi)."""
+    from gnark_crypto_tpu.towers.tower24 import get_tower24
+
+    tw = get_tower24(name)
+    e4 = g2.fp
+    u, v = _BLS24_ENDO[name]
+    sh = e4.eshape(p.x)
+    x = e4.mul(tw._phi(p.x, 1), e4.broadcast_to(e4.from_int(u), sh))
+    y = e4.mul(tw._phi(p.y, 1), e4.broadcast_to(e4.from_int(v), sh))
+    z = tw._phi(p.z, 1)
+    return Jac(x, y, z)
+
+
+def clear_cofactor_g2_bls24(name: str, g2, pts: Affine) -> Affine:
+    """Reference bls24 g2.go ClearCofactor (eprint 2017/419 §4.2):
+    literal transcription; mulBySeed = [|x0|]Q, sign juggled via Neg as in
+    the reference (x0 < 0 for bls24-315, > 0 for bls24-317 — the generated
+    code is identical for both, operating on |x0| with explicit Negs)."""
+    seed = _BLS24_SEED[name]
+    q = g2.from_affine(pts)
+    psi = lambda t: _psi_bls24(name, g2, t)
+
+    xg = _mul_int(g2, q, seed)
+    xg = g2.add(g2.neg_jac(xg), g2.neg_jac(q))        # -[x]q - q
+    xxg = g2.neg_jac(_mul_int(g2, xg, seed))
+    xxxg = g2.neg_jac(_mul_int(g2, xxg, seed))
+    xxxxg = g2.neg_jac(_mul_int(g2, xxxg, seed))
+
+    res = g2.add(xxxxg, g2.neg_jac(q))
+    t = psi(xxxg)
+    res = g2.add(t, res)
+    t = psi(psi(xxg))
+    res = g2.add(t, res)
+    t = psi(psi(psi(xg)))
+    res = g2.add(t, res)
+    t = psi(psi(psi(psi(g2.double(q)))))
+    res = g2.add(t, res)
+    return g2.to_affine(res)
+
+
+# ---------------------------------------------------------------------------
+# BW6: phi-based G1/G2 clearing (both groups over fp)
+# ---------------------------------------------------------------------------
+
+_BW6_SEED = {"bw6_761": 9586122913090633729, "bw6_633": 3218079743}
+_BW6_THIRD_ROOT_G1 = {
+    "bw6_761": 1968985824090209297278610739700577151397666382303825728450741611566800370218827257750865013421937292370006175842381275743914023380727582819905021229583192207421122272650305267822868639090213645505120388400344940985710520836292650,
+    "bw6_633": 4098895725012429242072311240482566844345873033931481129362557724405008256668293241245050359832461015092695507587185678086043587575438449040313411246717257958467499181450742260777082884928318,
+}
+
+
+def _phi_bw6(curve, p: Jac, name: str, g2: bool) -> Jac:
+    """phi: X *= thirdRootOneG1 (G1) / thirdRootOneG2 = root^2 (G2)
+    (bw6 g1.go:755 / g2.go:760)."""
+    f = curve.fp
+    q = curve.spec.fp.modulus
+    w = _BW6_THIRD_ROOT_G1[name]
+    if g2:
+        w = w * w % q
+    wc = f.broadcast_to(f.from_int(w), f.eshape(p.x))
+    return Jac(f.mul(p.x, wc), p.y, p.z)
+
+
+def clear_cofactor_bw6_761(curve, pts: Affine, g2: bool) -> Affine:
+    """bw6-761 ClearCofactor (eprint 2020/351; g1.go/g2.go transcription)."""
+    seed = _BW6_SEED["bw6_761"]
+    q = curve.from_affine(pts)
+    pt0 = q
+    pt1 = _mul_int(curve, pt0, seed)
+    pt2 = _mul_int(curve, pt1, seed)
+    pt3 = _mul_int(curve, pt2, seed)
+
+    def mw(p, k):
+        return _mul_int(curve, p, k)
+
+    if not g2:
+        p1 = mw(pt3, 103)
+        p1 = curve.add(p1, g2_neg(curve, mw(pt2, 83)))
+        p1 = curve.add(p1, g2_neg(curve, mw(pt1, 40)))
+        p1 = curve.add(p1, mw(pt0, 136))
+        p2 = mw(pt2, 7)
+        p2 = curve.add(p2, mw(pt1, 89))
+        p2 = curve.add(p2, mw(pt0, 130))
+    else:
+        p1 = mw(pt3, 103)
+        p1 = curve.add(p1, g2_neg(curve, mw(pt2, 83)))
+        p1 = curve.add(p1, g2_neg(curve, mw(pt1, 143)))
+        p1 = curve.add(p1, mw(pt0, 27))       # Triple^3 = [27]P
+        p2 = mw(pt2, 7)                       # Triple.Double.Add = [7]P
+        p2 = curve.add(p2, g2_neg(curve, mw(pt1, 117)))
+        p2 = curve.add(p2, g2_neg(curve, mw(pt0, 109)))
+    p2 = _phi_bw6(curve, p2, "bw6_761", g2)
+    if g2:
+        p2 = _phi_bw6(curve, p2, "bw6_761", g2)
+    return curve.to_affine(curve.add(p1, p2))
+
+
+def g2_neg(curve, p: Jac) -> Jac:
+    return curve.neg_jac(p)
+
+
+def clear_cofactor_bw6_633(curve, pts: Affine, g2: bool) -> Affine:
+    """bw6-633 ClearCofactor (g1.go/g2.go transcription; xGen = |x0|,
+    x0 < 0 — signs follow the reference's inline comments)."""
+    seed = _BW6_SEED["bw6_633"]
+    q = curve.from_affine(pts)
+    x = seed  # |x0|
+
+    def mw(p, k):
+        return _mul_int(curve, p, k)
+
+    if not g2:
+        # G1: uP = -[x]q; vP = [v](q - uP), v = (x^2+1)(x+1);
+        # wP = -[x-1]vP + uP; L0 = [13]wP + [7]vP + [2]q;
+        # L1 = [13](uP + q) + [5]vP + [7]q; res = phi(L1) + L0
+        u_p = g2_neg(curve, mw(q, x))
+        v_scalar = (x * x + 1) * (x + 1)
+        v_p = mw(curve.add(q, g2_neg(curve, u_p)), v_scalar)
+        w_p = curve.add(g2_neg(curve, mw(v_p, x - 1)), u_p)
+        l0 = mw(w_p, 13)
+        l0 = curve.add(l0, mw(v_p, 7))
+        l0 = curve.add(l0, curve.double(q))
+        l1 = mw(curve.add(u_p, q), 13)
+        l1 = curve.add(l1, mw(v_p, 5))
+        l1 = curve.add(l1, mw(q, 7))
+        res = curve.add(_phi_bw6(curve, l1, "bw6_633", g2), l0)
+    else:
+        # G2 (g2.go): chains of mulBySeed with tracked signs
+        u_p = mw(q, x)                       # semantically -x q
+        u2_p = mw(u_p, x)
+        u3_p = mw(u2_p, x)
+        u4_p = mw(u3_p, x)
+        u5_p = mw(u4_p, x)
+        v_p = curve.add(u2_p, u_p)
+        v_p = curve.add(v_p, u3_p)
+        v_p = curve.double(v_p)
+        v_p = curve.add(v_p, u4_p)
+        v_p = curve.add(v_p, q)
+        w_p = curve.add(u_p, g2_neg(curve, u4_p))
+        w_p = curve.add(w_p, g2_neg(curve, u5_p))
+        x_p = curve.add(q, v_p)
+        l0 = mw(curve.add(u_p, g2_neg(curve, q)), 13)
+        l0 = curve.add(l0, mw(x_p, 5))
+        l0 = curve.add(l0, g2_neg(curve, mw(q, 7)))
+        l1 = mw(w_p, 13)
+        l1 = curve.add(l1, mw(v_p, 7))
+        l1 = curve.add(l1, mw(q, 5))
+        res = curve.add(_phi_bw6(curve, l1, "bw6_633", g2), l0)
     return curve.to_affine(res)

@@ -102,7 +102,17 @@ def signed_digits(curve: Curve, scalars, c: int):
 
 
 def _bucket_accumulate(curve: Curve, points: Affine, mag, neg, c: int):
-    """One window: -> bucket array Jac[(2^(c-1)+1, ...)] (slot 0 unused)."""
+    """One window: -> bucket array Jac[(2^(c-1)+1, ...)] (slot 0 unused).
+
+    Work-optimal segmented tree reduction over the digit-sorted points:
+    each level pairs adjacent nodes (a node carries the partial sums of its
+    leftmost and rightmost digit-runs), merging boundary runs with ONE
+    point-add per pair and scattering completed interior runs into their
+    bucket. Total point-add work is ~N (widths halve per level), replacing
+    the previous log-stride segmented scan's N*log2(N) full-width adds.
+    A digit's run completes at exactly one level, so per-level bucket
+    scatters have unique indices.
+    """
     f = curve.fp
     n = mag.shape[0]
     half = 1 << (c - 1)
@@ -116,29 +126,50 @@ def _bucket_accumulate(curve: Curve, points: Affine, mag, neg, c: int):
     mag_s = mag[order]
     pj_s = jax.tree.map(lambda a: a[order], pj)
 
-    # segmented inclusive scan over equal-digit runs, log-stride style:
-    # after the pass with stride d, scan[i] = sum of the last 2d elements of
-    # i's run ending at i; log2(N) fully-vectorized masked point-adds, so the
-    # traced graph is O(log N) (an associative_scan would unroll O(N) adds).
-    scan = pj_s
-    d = 1
-    while d < n:
-        shifted = jax.tree.map(
-            lambda a: jnp.concatenate([a[:d], a[:-d]], axis=0), scan)
-        same = jnp.concatenate(
-            [jnp.zeros((d,), bool), mag_s[d:] == mag_s[:-d]])
-        merged = curve.add(Jac(*scan), Jac(*shifted))
-        scan = _sel(f, same, merged, Jac(*scan))
-        d *= 2
+    # pad to a power of two so every tree level has even width; digit-0
+    # infinity entries extend the (unused) zero-run at the sorted front
+    m = 1 << (n - 1).bit_length()
+    if m != n:
+        inf_pad = curve.inf_jac((m - n,))
+        pj_s = jax.tree.map(lambda z, a: jnp.concatenate([z, a], axis=0),
+                            inf_pad, pj_s)
+        mag_s = jnp.concatenate([jnp.zeros((m - n,), mag_s.dtype), mag_s])
+        n = m
 
-    # segment tails: last index of each equal-digit run
-    nxt = jnp.concatenate([mag_s[1:], jnp.full((1,), -1, mag_s.dtype)])
-    is_tail = mag_s != nxt
-    # scatter tails into buckets; dummies go to slot 0 (digit 0 = unused)
-    idx = jnp.where(is_tail, mag_s, 0)
     buckets = curve.inf_jac((half + 1,))
-    buckets = Jac(*(bc.at[idx].set(f.where(is_tail, sc, bc[idx]))
-                    for bc, sc in zip(buckets, scan)))
+
+    def scatter(bk, valid, pt, d):
+        idx = jnp.where(valid, d, 0)
+        return Jac(*(bc.at[idx].set(f.where(valid, pc, bc[idx]))
+                     for bc, pc in zip(bk, pt)))
+
+    pre = suf = pj_s              # leftmost / rightmost run partial sums
+    pre_d = suf_d = mag_s
+    single = jnp.ones((n,), bool)  # node spans a single digit-run
+    while pre.x.shape[0] > 1:
+        l_pre, l_pre_d = jax.tree.map(lambda a: a[0::2], Jac(*pre)), pre_d[0::2]
+        l_suf, l_suf_d = jax.tree.map(lambda a: a[0::2], Jac(*suf)), suf_d[0::2]
+        r_pre, r_pre_d = jax.tree.map(lambda a: a[1::2], Jac(*pre)), pre_d[1::2]
+        r_suf, r_suf_d = jax.tree.map(lambda a: a[1::2], Jac(*suf)), suf_d[1::2]
+        l_single, r_single = single[0::2], single[1::2]
+
+        mid = curve.add(Jac(*l_suf), Jac(*r_pre))
+        eq = l_suf_d == r_pre_d
+        # interior-run completions -> buckets
+        emit_a = (~l_single) & ((~eq) | (~r_single))
+        pt_a = _sel(f, eq, mid, Jac(*l_suf))
+        buckets = scatter(buckets, emit_a, pt_a, l_suf_d)
+        emit_b = (~eq) & (~r_single)
+        buckets = scatter(buckets, emit_b, Jac(*r_pre), r_pre_d)
+        # new node
+        pre = _sel(f, l_single & eq, mid, Jac(*l_pre))
+        suf = _sel(f, r_single & eq, mid, Jac(*r_suf))
+        pre_d, suf_d = l_pre_d, r_suf_d
+        single = l_single & r_single & eq
+
+    ones = jnp.ones((1,), bool)
+    buckets = scatter(buckets, ones, Jac(*pre), pre_d)
+    buckets = scatter(buckets, ones & ~single, Jac(*suf), suf_d)
     return buckets
 
 

@@ -160,3 +160,36 @@ def test_bls12_377_hash_to_g1():
                            curve.fr.from_int([r], mont=False),
                            nbits=r.bit_length() + 1)
     assert bool(np.asarray(curve.is_inf_jac(res))[0])
+
+
+@pytest.mark.parametrize("name", ["bls24_315", "bls24_317",
+                                  "bw6_761", "bw6_633"])
+def test_hash_to_g1_long_tail(name):
+    """SSWU + per-curve cofactor clearing for the remaining G1s: on-curve
+    AND in the r-torsion (isogeny constants host-validated against the
+    land-on-E relation; clearing formulas from each curve's g1.go)."""
+    curve = curve_ops(cs.get_curve(f"{name}_g1"))
+    pt = h2c.hash_to_g1(name, b"round2", f"DST-{name}".encode())
+    assert bool(np.asarray(curve.on_curve_affine(pt))[0])
+    r = curve.spec.fr.modulus
+    res = curve.scalar_mul(curve.from_affine(pt),
+                           curve.fr.from_int([r], mont=False),
+                           nbits=r.bit_length() + 1)
+    assert bool(np.asarray(curve.is_inf_jac(res))[0])
+
+
+@pytest.mark.parametrize("name", ["bls12_377", "bls24_315", "bls24_317",
+                                  "bw6_761", "bw6_633"])
+def test_hash_to_g2_long_tail(name):
+    """G2 hash-to-curve for the remaining families (SSWU for bls12-377/bw6,
+    SVDW over E4 for bls24): on-curve and in the r-torsion."""
+    from gnark_crypto_tpu.curve.g2 import g2_curve
+
+    g2 = g2_curve(name)
+    pt = h2c.hash_to_g2(name, b"round2", f"DST-{name}-G2".encode())
+    assert bool(np.asarray(g2.on_curve_affine(pt))[0])
+    r = g2.spec.fr.modulus
+    res = g2.scalar_mul(g2.from_affine(pt),
+                        g2.fr.from_int([r], mont=False),
+                        nbits=r.bit_length() + 1)
+    assert bool(np.asarray(g2.is_inf_jac(res))[0])
