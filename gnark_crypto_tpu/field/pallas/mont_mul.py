@@ -36,7 +36,10 @@ def _carry_rows(t, l_pad, b, mask):
     """Full carry propagation over the (l_pad, TILE) limb rows (signed lazy
     carries: arithmetic >> floors, so negative interim limbs work)."""
     rows = [t[i, :] for i in range(l_pad)]
-    c = jnp.zeros_like(rows[0])
+    # tracer-derived zero: a literal jnp.zeros would concretize under
+    # jax.ensure_compile_time_eval (table builds) and become an illegal
+    # captured constant in the kernel jaxpr
+    c = rows[0] ^ rows[0]
     norm = []
     for i in range(l_pad):
         v = rows[i] + c
@@ -63,7 +66,7 @@ def _mm_tile(spec: FieldSpec, l_pad: int, x, y, q_col):
     L = spec.n_limbs
     mask = spec.mask
     qinv = spec.qinv_neg
-    zero_row = jnp.zeros((1, x.shape[1]), jnp.int32)
+    zero_row = x[0:1, :] ^ x[0:1, :]  # tracer-derived (see _carry_rows)
 
     unroll = 2 if L % 2 == 0 else 1  # odd limb counts (e.g. goldilocks L=5)
 
@@ -82,7 +85,7 @@ def _mm_tile(spec: FieldSpec, l_pad: int, x, y, q_col):
         return t, xr
 
     t, _ = jax.lax.fori_loop(0, L // unroll, body,
-                             (jnp.zeros_like(x), x))
+                             (x ^ x, x))
     # full carry propagation (l_pad rows; rows >= L absorb the top carry)
     t, _ = _carry_rows(t, l_pad, b, spec.mask)
     return _cond_sub_q(t, q_col, l_pad, b, mask)
