@@ -42,6 +42,18 @@ class VerifyingKey:
     g2: Affine       # [1]G2 (E2 coords), batch (1,)
     alpha_g2: Affine  # [alpha]G2
     g1: Affine       # [1]G1
+    # precomputed pairing lines for [g2, alpha_g2] (reference kzg.go:45
+    # Lines field); None falls back to the full Miller loop
+    lines: object = None
+
+    def with_lines(self, name: str) -> "VerifyingKey":
+        """Attach fixed-Q line tables (reference kzg.go:114-123)."""
+        from gnark_crypto_tpu.pairing.lines import precompute_lines
+
+        qx = jnp.concatenate([self.g2.x, self.alpha_g2.x], axis=0)
+        qy = jnp.concatenate([self.g2.y, self.alpha_g2.y], axis=0)
+        return dataclasses.replace(
+            self, lines=precompute_lines(name, qx, qy))
 
 
 @dataclasses.dataclass
@@ -162,6 +174,12 @@ def verify(name: str, commitment: Affine, proof: OpeningProof, point,
     total_aff = g1c.to_affine(total)
     px = jnp.concatenate([total_aff.x, proof.h.x], axis=0)
     py = jnp.concatenate([total_aff.y, proof.h.y], axis=0)
+    if vk.lines is not None:
+        # fixed-Q fast path: only E12 squares + sparse line muls per bit
+        # (reference verify always runs PairingCheckFixedQ, kzg.go:240-250)
+        from gnark_crypto_tpu.pairing.lines import pairing_check_fixed_q
+
+        return pairing_check_fixed_q(name, Affine(px, py), vk.lines)
     qx = jnp.concatenate([vk.g2.x, vk.alpha_g2.x], axis=0)
     qy = jnp.concatenate([vk.g2.y, vk.alpha_g2.y], axis=0)
     return pairing_api.pairing_check(name, Affine(px, py), qx, qy)

@@ -110,3 +110,53 @@ def test_bls24_pairing_bilinear(name):
     assert not bool(np.asarray(e24.equal(base, one)))
     r = g1.spec.fr.modulus
     assert bool(np.asarray(e24.equal(e24.exp_const(base, r), one)))
+
+
+@pytest.mark.parametrize("name", CURVES)
+def test_pair_fixed_q_matches_pair(name):
+    """PairFixedQ == Pair on the same pairs (reference pairing_test.go
+    TestMillerLoopFixedQ analogue), batch of 2 with distinct Qs."""
+    from gnark_crypto_tpu.pairing import lines as ln
+
+    g1 = g1_curve(name)
+    g2 = g2_curve(name)
+    ctx = pairing12.get_ctx(name)
+    e2 = g2.fp
+
+    P = scaled_gen(g1, 5)
+    P2 = scaled_gen(g1, 11)
+    Q = scaled_gen(g2, 7)
+    Q2 = scaled_gen(g2, 3)
+    Pb = Affine(*(np.concatenate([np.asarray(a), np.asarray(b)])
+                  for a, b in zip(P, P2)))
+    QX = np.concatenate([np.asarray(Q.x), np.asarray(Q2.x)])
+    QY = np.concatenate([np.asarray(Q.y), np.asarray(Q2.y)])
+
+    want = pairing12.pair(name, Pb, QX, QY)
+    tabs = ln.precompute_lines(name, QX, QY)
+    got = ln.pair_fixed_q(name, Pb, tabs)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("name", ["bn254"])
+def test_pair_fixed_q_infinity_pair(name):
+    """An infinity pair contributes 1 (reference comment pairing.go:879)."""
+    from gnark_crypto_tpu.pairing import lines as ln
+
+    g1 = g1_curve(name)
+    g2 = g2_curve(name)
+    e2 = g2.fp
+
+    P = scaled_gen(g1, 5)
+    Q = scaled_gen(g2, 7)
+    # second pair: P at infinity (0,0)
+    zero1 = np.zeros_like(np.asarray(P.x))
+    Pb = Affine(np.concatenate([np.asarray(P.x), zero1]),
+                np.concatenate([np.asarray(P.y), zero1]))
+    QX = np.concatenate([np.asarray(Q.x)] * 2)
+    QY = np.concatenate([np.asarray(Q.y)] * 2)
+
+    want = pairing12.pair(name, P, Q.x, Q.y)
+    tabs = ln.precompute_lines(name, QX, QY)
+    got = ln.pair_fixed_q(name, Pb, tabs)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
