@@ -84,23 +84,110 @@ def bench_f31_ntt(n=1 << 20, iters=20):
     return n / dt, dt
 
 
+def bench_msm(n=1 << 16, iters=4):
+    """bn254 G1 MSM (BenchmarkMultiExpG1, multiexp_test.go:301). Points are
+    generated ON DEVICE ([i+1]G via a 17-bit ladder) — the axon tunnel moves
+    ~40 MB/s, so shipping 2^16 affine points from host would dominate."""
+    import jax
+    from gnark_crypto_tpu.curve.jacobian import Affine, curve_ops
+    from gnark_crypto_tpu.msm.pippenger import msm
+    from gnark_crypto_tpu.specs import curve as cs
+
+    spec = cs.get_curve("bn254_g1")
+    curve = curve_ops(spec)
+    g = curve.generator_affine()
+    base = curve.from_affine(Affine(
+        curve.fp.broadcast_to(g.x, (n,)), curve.fp.broadcast_to(g.y, (n,))))
+    small = curve.fr.from_int([i + 1 for i in range(n)], mont=False)
+    pts = curve.to_affine(curve.scalar_mul(base, small, nbits=17))
+    rng = np.random.default_rng(1)
+    r = spec.fr.modulus
+    ks = [int.from_bytes(rng.bytes(32), "big") % r for _ in range(n)]
+    k_dev = curve.fr.from_int(ks, mont=False)
+
+    res = msm(spec, pts, k_dev)
+    np.asarray(res.x[:1])  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = msm(spec, pts, k_dev)
+    np.asarray(res.x[:1])
+    dt = (time.perf_counter() - t0) / iters
+    return n / dt, dt
+
+
+def bench_pairing(batch=64, iters=4):
+    """bn254 full pairing throughput, batched lanes (pairing_test.go:538)."""
+    import jax
+    from gnark_crypto_tpu.curve.g2 import g2_curve
+    from gnark_crypto_tpu.curve.jacobian import Affine, curve_ops
+    from gnark_crypto_tpu.pairing import pairing12
+    from gnark_crypto_tpu.specs import curve as cs
+
+    g1 = curve_ops(cs.get_curve("bn254_g1"))
+    g2 = g2_curve("bn254")
+    gp = g1.generator_affine()
+    gq = g2.generator_affine()
+    P = Affine(g1.fp.broadcast_to(gp.x, (batch,)),
+               g1.fp.broadcast_to(gp.y, (batch,)))
+    Q = Affine(g2.fp.broadcast_to(gq.x, (batch,)),
+               g2.fp.broadcast_to(gq.y, (batch,)))
+    fn = jax.jit(lambda px, py, qx, qy: pairing12.pair(
+        "bn254", Affine(px, py), qx, qy))
+    def sync(v):
+        np.asarray(jax.tree.leaves(v)[0][:1])  # D2H forces completion
+    r = fn(P.x, P.y, Q.x, Q.y)
+    sync(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(P.x, P.y, Q.x, Q.y)
+    sync(r)
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt, dt
+
+
+def bench_poseidon2(n=1 << 16, iters=10):
+    """koalabear Poseidon2-16 permutation throughput (poseidon2 bench tier)."""
+    import jax
+    import jax.numpy as jnp
+    from gnark_crypto_tpu.hashes.poseidon2 import poseidon2
+
+    perm = poseidon2("koalabear", 16)
+    rng = np.random.default_rng(2)
+    # uniform residues are valid Montgomery-form values
+    state = jnp.asarray(rng.integers(0, perm.spec.modulus,
+                                     size=(16, n), dtype=np.uint32))
+    fn = jax.jit(perm.permutation)
+    r = fn(state)
+    np.asarray(r[:1, :1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(r)
+    np.asarray(r[:1, :1])
+    dt = (time.perf_counter() - t0) / iters
+    return n / dt, dt
+
+
 def main():
     _enable_cache()
+    extra = {}
     ntt_rate, ntt_dt = bench_ntt()
-    try:
-        f31_rate, f31_dt = bench_f31_ntt()
-    except Exception:
-        f31_rate, f31_dt = 0.0, float("inf")
+    extra["bn254_ntt_2^20_ms"] = round(ntt_dt * 1e3, 2)
+    for key, fn in [("koalabear_ntt_2^20", bench_f31_ntt),
+                    ("bn254_g1_msm_2^16", bench_msm),
+                    ("bn254_pairing_x64", bench_pairing),
+                    ("koalabear_poseidon2_16_2^16", bench_poseidon2)]:
+        try:
+            rate, dt = fn()
+            extra[key + "_per_sec"] = round(rate)
+            extra[key + "_ms"] = round(dt * 1e3, 2)
+        except Exception as e:  # never lose the primary metric
+            extra[key + "_error"] = repr(e)[:120]
     print(json.dumps({
         "metric": "bn254_fr_ntt_2^20_elems_per_sec",
         "value": round(ntt_rate),
         "unit": "elems/s",
         "vs_baseline": round(ntt_rate / GNARK_FFT_2_20_ELEMS_PER_SEC, 3),
-        "extra": {
-            "bn254_ntt_2^20_ms": round(ntt_dt * 1e3, 2),
-            "koalabear_ntt_2^20_elems_per_sec": round(f31_rate),
-            "koalabear_ntt_2^20_ms": round(f31_dt * 1e3, 2),
-        },
+        "extra": extra,
     }))
 
 

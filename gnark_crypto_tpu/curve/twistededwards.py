@@ -32,6 +32,10 @@ class TwistedEdwardsSpec:
     order: int           # order of the prime subgroup
     gx: int
     gy: int
+    # GLV endomorphism (bandersnatch only: phi = sqrt(-2) in End(E),
+    # phi(P) = [glv_lambda]P; bandersnatch/curve.go:68-71)
+    endo: tuple[int, int] | None = None
+    glv_lambda: int | None = None
 
 
 _REGISTRY: dict[str, TwistedEdwardsSpec] = {}
@@ -84,6 +88,9 @@ BANDERSNATCH = register(TwistedEdwardsSpec(
     order=13108968793781547619861935127046491459309155893440570251786403306729687672801,
     gx=18886178867200960497001835917649091219057080094937609519140440539760939937304,
     gy=19188667384257783945677642223292697773471335439753913231509108946878080696678,
+    endo=(37446463827641770816307242315180085052603635617490163568005256780843403514036,
+          49199877423542878313146170939139662862850515542392585932876811575731455068989),
+    glv_lambda=8913659658109529928382530854484400854125314752504019737736543920008458395397,
 ))
 
 BLS24_315_TED = register(TwistedEdwardsSpec(
@@ -243,6 +250,79 @@ class TedCurve:
         if isinstance(k, int):
             bits = bits[:, 0]
         return self.scalar_mul(p, bits)
+
+    # -- GLV endomorphism (bandersnatch) -------------------------------------
+    def phi(self, p: ExtPoint) -> ExtPoint:
+        """The degree-2 endomorphism phi = sqrt(-2): phi(P) = [lambda]P on
+        the prime subgroup (bandersnatch/endomorpism.go:11 PointExtended.phi,
+        projective Montgomery-isogeny composition evaluated in-place)."""
+        e0, e1 = self.spec.endo
+        f = self.f
+        sh = f.eshape(p.x)
+        zz = f.square(p.z)
+        yy = f.square(p.y)
+        xy = f.mul(p.x, p.y)
+        fe = f.mul(f.sub(zz, yy), self._const(e1, sh))
+        zz = f.mul(zz, self._const(e0, sh))
+        g = f.mul(f.add(yy, zz), self._const(e0, sh))
+        h = f.sub(yy, zz)
+        return ExtPoint(f.mul(fe, h), f.mul(g, xy), f.mul(fe, g),
+                        f.mul(h, xy))
+
+    def scalar_mul_glv(self, p: ExtPoint, ks: list[int]) -> ExtPoint:
+        """[k]P via GLV split k = k1 + k2*lambda, |ki| ~ sqrt(order), and a
+        joint double-and-add — half the doublings of scalar_mul_int
+        (bandersnatch/endomorpism.go:29 scalarMulGLV; our ladder is the
+        batched complete-add variant instead of the 4-bit window table)."""
+        from gnark_crypto_tpu.curve.glv import _round_div
+        from gnark_crypto_tpu.specs.curve import _lattice_2d
+
+        assert self.spec.glv_lambda is not None, "no GLV endomorphism"
+        r = self.spec.order
+        lam = self.spec.glv_lambda
+        (a1, b1), (a2, b2) = _lattice_2d(r, lam)
+        det = a1 * b2 - a2 * b1
+        k1s, k2s = [], []
+        for k in ks:
+            k %= r
+            c1 = _round_div(b2 * k, det)
+            c2 = _round_div(-b1 * k, det)
+            k1 = k - c1 * a1 - c2 * a2
+            k2 = -(c1 * b1 + c2 * b2)
+            assert (k1 + k2 * lam - k) % r == 0
+            k1s.append(k1)
+            k2s.append(k2)
+
+        f = self.f
+        pn = self.neg(p)
+        neg1 = jnp.asarray([k < 0 for k in k1s])
+        p1 = ExtPoint(*(f.where(neg1, a, b) for a, b in zip(pn, p)))
+        pp = self.phi(p)
+        ppn = self.neg(pp)
+        neg2 = jnp.asarray([k < 0 for k in k2s])
+        p2 = ExtPoint(*(f.where(neg2, a, b) for a, b in zip(ppn, pp)))
+
+        m1 = [abs(k) for k in k1s]
+        m2 = [abs(k) for k in k2s]
+        nbits = max(max(m1).bit_length(), max(m2).bit_length(), 1)
+        bits = jnp.asarray(
+            [[[(m >> (nbits - 1 - i)) & 1 for m in ms] for ms in (m1, m2)]
+             for i in range(nbits)], jnp.int32)
+
+        acc0 = self.identity_ext(f.eshape(p.x))
+
+        def body(acc, bb):
+            acc = self.double(acc)
+            add1 = self.add(acc, p1)
+            acc = ExtPoint(*(f.where(bb[0] == 1, a, b)
+                             for a, b in zip(add1, acc)))
+            add2 = self.add(acc, p2)
+            acc = ExtPoint(*(f.where(bb[1] == 1, a, b)
+                             for a, b in zip(add2, acc)))
+            return acc, None
+
+        acc, _ = lax.scan(body, acc0, bits)
+        return acc
 
     # -- serialization (point.go:52 Bytes / :96 SetBytes, RFC8032-style) ----
     def point_to_bytes(self, p: AffinePoint) -> list[bytes]:

@@ -33,16 +33,27 @@ def _u32(x):
 # host conversions
 # ---------------------------------------------------------------------------
 
-def from_int(spec: FieldSpec, values, mont: bool = True) -> jax.Array:
+def from_int(spec: FieldSpec, values, mont: bool = True,
+             reduce: bool = True) -> jax.Array:
+    """reduce=False keeps raw uint32 scalars >= modulus (requires
+    mont=False); see field/mont.py from_int."""
     if isinstance(values, int):
-        v = (values % spec.modulus)
+        values = [values]
+        squeeze = True
+    else:
+        values = list(values)
+        squeeze = False
+    out = []
+    for v in values:
+        if reduce:
+            v = v % spec.modulus
+        else:
+            assert not mont and 0 <= v < 1 << 32
         if mont:
             v = (v * spec.r) % spec.modulus
-        return jnp.asarray(np.uint32(v))
-    arr = np.asarray(
-        [((v % spec.modulus) * (spec.r if mont else 1)) % spec.modulus
-         for v in values], dtype=np.uint32)
-    return jnp.asarray(arr)
+        out.append(v)
+    arr = jnp.asarray(np.asarray(out, dtype=np.uint32))
+    return arr[0] if squeeze else arr
 
 
 def to_int(spec: FieldSpec, x, mont: bool = True):

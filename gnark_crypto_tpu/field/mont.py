@@ -54,8 +54,14 @@ def _unroll_default() -> bool:
 # host-side conversions
 # ---------------------------------------------------------------------------
 
-def from_int(spec: FieldSpec, values, mont: bool = True) -> jax.Array:
-    """Python ints / iterable of ints -> limb array (Montgomery form)."""
+def from_int(spec: FieldSpec, values, mont: bool = True,
+             reduce: bool = True) -> jax.Array:
+    """Python ints / iterable of ints -> limb array (Montgomery form).
+
+    ``reduce=False`` keeps values >= modulus as-is (plain limbs, requires
+    mont=False): needed when the limb array carries a SCALAR for a ladder
+    rather than a field element — e.g. [r]P subgroup checks, where r mod r
+    would otherwise silently become 0 and the ladder a no-op."""
     if isinstance(values, int):
         values = [values]
         squeeze = True
@@ -64,7 +70,10 @@ def from_int(spec: FieldSpec, values, mont: bool = True) -> jax.Array:
         squeeze = False
     arr = np.empty((len(values), spec.n_limbs), dtype=np.int32)
     for i, v in enumerate(values):
-        v = v % spec.modulus
+        if reduce:
+            v = v % spec.modulus
+        else:
+            assert not mont and 0 <= v < 1 << (spec.limb_bits * spec.n_limbs)
         if mont:
             v = (v * spec.r) % spec.modulus
         arr[i] = int_to_limbs(v, spec.limb_bits, spec.n_limbs)

@@ -351,6 +351,10 @@ def clear_cofactor_g2_2017_419(g2, pts: Affine, seed: int, seed_neg: bool,
 # ---------------------------------------------------------------------------
 
 _BLS24_SEED = {"bls24_315": 3218079743, "bls24_317": 3640754176}
+# sign of the curve seed x0 (bls24-315: x0 < 0; bls24-317: x0 > 0). The
+# reference's generated ClearCofactor bodies differ exactly by Neg calls
+# after each mulBySeed — both reduce to the same signed-[x] formulas.
+_BLS24_SEED_SIGN = {"bls24_315": -1, "bls24_317": 1}
 
 # psi endomorphism constants (bls24-315.go:153-154 / bls24-317.go:139-142),
 # nested E4 = ((B0.A0, B0.A1), (B1.A0, B1.A1))
@@ -370,9 +374,12 @@ _BLS24_ENDO = {
 
 
 def clear_cofactor_g1_bls24(curve, pts: Affine, name: str) -> Affine:
-    """res = mulBySeed(P) + P (reference bls24 g1.go ClearCofactor,
-    eprint 2019/403 §5)."""
+    """[1-x]P: res = -[x]P + P with signed seed x (eprint 2019/403 §5).
+    Reference bls24-315/g1.go:834 (x<0: mulBySeed(P)+P) and
+    bls24-317/g1.go:818 (x>0: mulBySeed(P).Neg()+P)."""
     res = _mul_int(curve, curve.from_affine(pts), _BLS24_SEED[name])
+    if _BLS24_SEED_SIGN[name] > 0:
+        res = curve.neg_jac(res)
     return curve.to_affine(curve.add(res, curve.from_affine(pts)))
 
 
@@ -392,19 +399,22 @@ def _psi_bls24(name: str, g2, p: Jac) -> Jac:
 
 
 def clear_cofactor_g2_bls24(name: str, g2, pts: Affine) -> Affine:
-    """Reference bls24 g2.go ClearCofactor (eprint 2017/419 §4.2):
-    literal transcription; mulBySeed = [|x0|]Q, sign juggled via Neg as in
-    the reference (x0 < 0 for bls24-315, > 0 for bls24-317 — the generated
-    code is identical for both, operating on |x0| with explicit Negs)."""
+    """Reference bls24 g2.go ClearCofactor (eprint 2017/419 §4.2), in
+    signed-seed form: xg = [x]q - q, x{k}g = [x]x{k-1}g. The reference's
+    generated bodies differ by Neg calls per seed sign (bls24-315/g2.go:829
+    negates each mulBySeed since x0 < 0; bls24-317/g2.go:827 does not)."""
     seed = _BLS24_SEED[name]
     q = g2.from_affine(pts)
     psi = lambda t: _psi_bls24(name, g2, t)
 
-    xg = _mul_int(g2, q, seed)
-    xg = g2.add(g2.neg_jac(xg), g2.neg_jac(q))        # -[x]q - q
-    xxg = g2.neg_jac(_mul_int(g2, xg, seed))
-    xxxg = g2.neg_jac(_mul_int(g2, xxg, seed))
-    xxxxg = g2.neg_jac(_mul_int(g2, xxxg, seed))
+    def mulx(t):  # signed [x0]t
+        m = _mul_int(g2, t, seed)
+        return g2.neg_jac(m) if _BLS24_SEED_SIGN[name] < 0 else m
+
+    xg = g2.add(mulx(q), g2.neg_jac(q))               # [x]q - q
+    xxg = mulx(xg)
+    xxxg = mulx(xxg)
+    xxxxg = mulx(xxxg)
 
     res = g2.add(xxxxg, g2.neg_jac(q))
     t = psi(xxxg)

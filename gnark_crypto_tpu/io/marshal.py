@@ -224,12 +224,11 @@ class PointCodec:
         return Affine(pts.x, y_final)
 
     def _subgroup_check(self, pts: Affine):
-        curve = self.curve
-        r = curve.spec.fr.modulus
-        k = curve.fr.from_int([r] * pts.x.shape[0], mont=False)
-        res = curve.scalar_mul(curve.from_affine(pts), k,
-                               nbits=r.bit_length() + 1)
-        return curve.is_inf_jac(res)
+        """r-torsion membership via the per-family endomorphism fast paths
+        (curve/subgroup.py), the reference's IsInSubGroup counterpart —
+        seed-length ladders instead of the naive [r]P check."""
+        from gnark_crypto_tpu.curve.subgroup import is_in_subgroup
+        return is_in_subgroup(self.curve, pts)
 
 
 def _is_zero_coord(v) -> bool:

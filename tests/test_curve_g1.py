@@ -124,6 +124,6 @@ def test_new_curves_generator_and_order(name):
                 curve.fp.broadcast_to(g.y, (1,)))
     r = curve.spec.fr.modulus
     res = curve.scalar_mul(curve.from_affine(gb),
-                           curve.fr.from_int([r], mont=False),
+                           curve.fr.from_int([r], mont=False, reduce=False),
                            nbits=r.bit_length() + 1)
     assert bool(np.asarray(curve.is_inf_jac(res))[0])

@@ -36,3 +36,31 @@ def test_glv_scalar_mul_matches_ladder():
     expect = affine_to_ints(curve, curve.to_affine(curve.scalar_mul(
         P, curve.fr.from_int(ks, mont=False))))
     assert got == expect
+
+
+def test_bandersnatch_phi_eigenvalue():
+    """phi(P) == [lambda]P on the prime subgroup
+    (bandersnatch/endomorpism.go:11, curve.go:70)."""
+    from gnark_crypto_tpu.curve.twistededwards import ted_curve
+
+    c = ted_curve("bandersnatch")
+    lam = c.spec.glv_lambda
+    assert (lam * lam + 2) % c.spec.order == 0  # lambda^2 = -2 mod order
+    g = c.from_affine(c.generator_affine((2,)))
+    got = np.asarray(c.to_affine(c.phi(g)))
+    expect = np.asarray(c.to_affine(c.scalar_mul_int(g, lam)))
+    assert np.array_equal(got, expect)
+
+
+def test_bandersnatch_glv_scalar_mul():
+    """scalar_mul_glv vs the plain ladder (scalarMulGLV parity)."""
+    from gnark_crypto_tpu.curve.twistededwards import ted_curve
+
+    c = ted_curve("bandersnatch")
+    r = c.spec.order
+    rng = random.Random(3)
+    ks = [0, 1, r - 1, rng.randrange(r)]
+    g = c.from_affine(c.generator_affine((len(ks),)))
+    got = np.asarray(c.to_affine(c.scalar_mul_glv(g, ks)))
+    expect = np.asarray(c.to_affine(c.scalar_mul_int(g, ks)))
+    assert np.array_equal(got, expect)

@@ -157,7 +157,7 @@ def test_bls12_377_hash_to_g1():
     assert bool(np.asarray(curve.on_curve_affine(pt))[0])
     r = curve.spec.fr.modulus
     res = curve.scalar_mul(curve.from_affine(pt),
-                           curve.fr.from_int([r], mont=False),
+                           curve.fr.from_int([r], mont=False, reduce=False),
                            nbits=r.bit_length() + 1)
     assert bool(np.asarray(curve.is_inf_jac(res))[0])
 
@@ -173,7 +173,7 @@ def test_hash_to_g1_long_tail(name):
     assert bool(np.asarray(curve.on_curve_affine(pt))[0])
     r = curve.spec.fr.modulus
     res = curve.scalar_mul(curve.from_affine(pt),
-                           curve.fr.from_int([r], mont=False),
+                           curve.fr.from_int([r], mont=False, reduce=False),
                            nbits=r.bit_length() + 1)
     assert bool(np.asarray(curve.is_inf_jac(res))[0])
 
@@ -190,6 +190,6 @@ def test_hash_to_g2_long_tail(name):
     assert bool(np.asarray(g2.on_curve_affine(pt))[0])
     r = g2.spec.fr.modulus
     res = g2.scalar_mul(g2.from_affine(pt),
-                        g2.fr.from_int([r], mont=False),
+                        g2.fr.from_int([r], mont=False, reduce=False),
                         nbits=r.bit_length() + 1)
     assert bool(np.asarray(g2.is_inf_jac(res))[0])
