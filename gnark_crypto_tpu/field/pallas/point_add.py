@@ -1,0 +1,200 @@
+"""Pallas TPU kernel: fused complete Jacobian point addition.
+
+The MSM hot loop (bucket tree reduction, ``msm/pippenger.py``) is made of
+full-batch point adds; composing them from ~20 separate Montgomery-mul
+dispatches costs ~40 HBM round trips per add. This kernel runs the whole
+masked-complete add-2007-bl + double fallback (reference ``g1.go:332
+AddAssign`` / ``:397 DoubleAssign``) in VMEM on (l_pad, TILE) limb tiles —
+one read of the two operand points, one write of the sum.
+
+Layout and in-kernel Montgomery helpers are shared with
+``field/pallas/mont_mul.py`` (limbs in sublanes, elements in lanes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gnark_crypto_tpu.field.pallas.mont_mul import (TILE, _add_tile,
+                                                    _mm_tile, _round_up,
+                                                    _sub_tile)
+from gnark_crypto_tpu.specs.field import FieldSpec, int_to_limbs
+
+
+def _is_zero_row(t):
+    """(l_pad, TILE) canonical tile -> bool row (TILE,): element == 0."""
+    return jnp.all(t == 0, axis=0)
+
+
+def _sel(cond_row, a, b):
+    return jnp.where(cond_row[None, :], a, b)
+
+
+def _field_ops(spec: FieldSpec, l_pad: int, q_col):
+    mm = functools.partial(_mm_tile, spec, l_pad)
+    ad = functools.partial(_add_tile, spec, l_pad)
+    sb = functools.partial(_sub_tile, spec, l_pad)
+
+    def mul(a, b):
+        return mm(a, b, q_col)
+
+    def add2(a, b):
+        return ad(a, b, q_col)
+
+    def sub2(a, b):
+        return sb(a, b, q_col)
+
+    def dbl(a):
+        return ad(a, a, q_col)
+
+    return mul, add2, sub2, dbl
+
+
+def _dbl_core(mul, add2, sub2, dbl, a_is_zero, a_tile, x1, y1, z1):
+    """dbl-2009-l / dbl-2007-bl on limb tiles (g1.go:397 DoubleAssign).
+
+    Infinity-safe without masks: Z3 = 2*Y1*Z1 = 0 when Z1 = 0."""
+    A = mul(x1, x1)
+    B = mul(y1, y1)
+    C = mul(B, B)
+    t = add2(x1, B)
+    t = mul(t, t)
+    D = dbl(sub2(sub2(t, A), C))
+    E = add2(dbl(A), A)
+    if not a_is_zero:
+        z2 = mul(z1, z1)
+        E = add2(E, mul(mul(z2, z2), a_tile))
+    F = mul(E, E)
+    xd = sub2(F, dbl(D))
+    yd = sub2(mul(E, sub2(D, xd)), dbl(dbl(dbl(C))))
+    zd = dbl(mul(y1, z1))
+    return xd, yd, zd
+
+
+def _kernel(spec: FieldSpec, l_pad: int, a_is_zero: bool,
+            x1r, y1r, z1r, x2r, y2r, z2r, qr, ar,
+            x3r, y3r, z3r):
+    q_col = qr[:]
+    mul, add2, sub2, dbl = _field_ops(spec, l_pad, q_col)
+    x1, y1, z1 = x1r[:], y1r[:], z1r[:]
+    x2, y2, z2 = x2r[:], y2r[:], z2r[:]
+
+    # --- add-2007-bl (g1.go:332)
+    z1z1 = mul(z1, z1)
+    z2z2 = mul(z2, z2)
+    u1 = mul(x1, z2z2)
+    u2 = mul(x2, z1z1)
+    s1 = mul(mul(y1, z2), z2z2)
+    s2 = mul(mul(y2, z1), z1z1)
+    h = sub2(u2, u1)
+    i = dbl(h)
+    i = mul(i, i)
+    j = mul(h, i)
+    rr = dbl(sub2(s2, s1))
+    v = mul(u1, i)
+    x3 = sub2(sub2(mul(rr, rr), j), dbl(v))
+    y3 = sub2(mul(rr, sub2(v, x3)), dbl(mul(s1, j)))
+    z12 = add2(z1, z2)
+    z3 = mul(sub2(sub2(mul(z12, z12), z1z1), z2z2), h)
+
+    # --- double fallback (g1.go:397, dbl-2009-l / dbl-2007-bl)
+    xd, yd, zd = _dbl_core(mul, add2, sub2, dbl, a_is_zero, ar[:],
+                           x1, y1, z1)
+
+    # --- completeness masks (curve/jacobian.py add)
+    h0 = _is_zero_row(h)
+    r0 = _is_zero_row(rr)
+    p_inf = _is_zero_row(z1)
+    q_inf = _is_zero_row(z2)
+    zero = h ^ h
+    is_dbl = h0 & r0
+    is_inf = h0 & (~r0) & (~p_inf) & (~q_inf)
+    ox, oy, oz = x3, y3, z3
+    ox, oy, oz = (_sel(is_dbl, xd, ox), _sel(is_dbl, yd, oy),
+                  _sel(is_dbl, zd, oz))
+    # infinity encoded as (0, 0, 0) canonical
+    ox, oy, oz = (_sel(is_inf, zero, ox), _sel(is_inf, zero, oy),
+                  _sel(is_inf, zero, oz))
+    ox, oy, oz = (_sel(p_inf, x2, ox), _sel(p_inf, y2, oy),
+                  _sel(p_inf, z2, oz))
+    ox, oy, oz = (_sel(q_inf, x1, ox), _sel(q_inf, y1, oy),
+                  _sel(q_inf, z1, oz))
+    x3r[:] = ox
+    y3r[:] = oy
+    z3r[:] = oz
+
+
+def _dbl_kernel(spec: FieldSpec, l_pad: int, a_is_zero: bool,
+                x1r, y1r, z1r, qr, ar, x3r, y3r, z3r):
+    q_col = qr[:]
+    mul, add2, sub2, dbl = _field_ops(spec, l_pad, q_col)
+    xd, yd, zd = _dbl_core(mul, add2, sub2, dbl, a_is_zero, ar[:],
+                           x1r[:], y1r[:], z1r[:])
+    x3r[:] = xd
+    y3r[:] = yd
+    z3r[:] = zd
+
+
+@functools.lru_cache(maxsize=None)
+def _q_a_tiles(spec: FieldSpec, l_pad: int, a_int: int):
+    q = np.asarray(spec.q_limbs + (0,) * (l_pad - spec.n_limbs),
+                   dtype=np.int32)[:, None]
+    # a in Montgomery form (as the engine stores constants)
+    am = (a_int % spec.modulus) * spec.r % spec.modulus
+    a = np.asarray(
+        tuple(int_to_limbs(am, spec.limb_bits, spec.n_limbs))
+        + (0,) * (l_pad - spec.n_limbs), dtype=np.int32)[:, None]
+    return (np.broadcast_to(q, (l_pad, TILE)).copy(),
+            np.broadcast_to(a, (l_pad, TILE)).copy())
+
+
+def _launch(spec: FieldSpec, a_int: int, kernel, coords, interpret: bool):
+    """Shared pallas_call plumbing: transpose (N, L) coordinate arrays to
+    (l_pad, n_pad) limb tiles, append the q/a constant tiles, run, and
+    transpose the three output coordinates back."""
+    n, L = coords[0].shape
+    l_pad = _round_up(max(L, 8), 8)
+    n_pad = _round_up(n, TILE)
+
+    def tr(a):
+        return jnp.zeros((l_pad, n_pad), jnp.int32).at[:L, :n].set(a.T)
+
+    qt, at = _q_a_tiles(spec, l_pad, a_int)
+    kern = functools.partial(kernel, spec, l_pad, a_int == 0)
+    bs = pl.BlockSpec((l_pad, TILE), lambda i: (0, i),
+                      memory_space=pltpu.VMEM)
+    cs = pl.BlockSpec((l_pad, TILE), lambda i: (0, 0),
+                      memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((l_pad, n_pad), jnp.int32)] * 3,
+        grid=(n_pad // TILE,),
+        in_specs=[bs] * len(coords) + [cs, cs],
+        out_specs=[bs] * 3,
+        interpret=interpret,
+    )(*(tr(c) for c in coords), jnp.asarray(qt), jnp.asarray(at))
+    return tuple(o[:L, :n].T for o in out)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 8))
+def jac_add(spec: FieldSpec, a_int: int, x1, y1, z1, x2, y2, z2,
+            interpret: bool = False):
+    """Complete Jacobian add on (N, L) int32 coordinate arrays.
+
+    ``a_int``: the curve's a coefficient (plain int); a == 0 skips the
+    aZ^4 term in the double fallback. Returns (x3, y3, z3)."""
+    return _launch(spec, a_int, _kernel, (x1, y1, z1, x2, y2, z2),
+                   interpret)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 5))
+def jac_double(spec: FieldSpec, a_int: int, x1, y1, z1,
+               interpret: bool = False):
+    """Jacobian double on (N, L) int32 coordinate arrays (infinity-safe)."""
+    return _launch(spec, a_int, _dbl_kernel, (x1, y1, z1), interpret)

@@ -49,6 +49,46 @@ def _h2_inv(a, p, beta):
     return (a0 * ninv % p, (-a1 * ninv) % p)
 
 
+def _naf(e: int) -> list[int]:
+    """Non-adjacent form digits of e > 0, LSB first."""
+    digits = []
+    while e:
+        if e & 1:
+            d = 2 - (e & 3)  # 1 or -1
+            digits.append(d)
+            e -= d
+        else:
+            digits.append(0)
+        e >>= 1
+    return digits
+
+
+def _decompose(k: int, lam: int, basis, r: int):
+    """Babai rounding: k = k1 + k2*lam (mod r), |ki| ~ sqrt(r)
+    (same math as curve/glv.py decompose_scalar)."""
+    (a1, b1), (a2, b2) = basis
+    det = a1 * b2 - a2 * b1
+
+    def rdiv(num, den):
+        if den < 0:
+            num, den = -num, -den
+        q, rem = divmod(num, den)
+        return q + (1 if 2 * rem >= den else 0)
+
+    c1 = rdiv(b2 * k, det)
+    c2 = rdiv(-b1 * k, det)
+    k1 = k - c1 * a1 - c2 * a2
+    k2 = -(c1 * b1 + c2 * b2)
+    assert (k1 + k2 * lam - k) % r == 0
+    return k1, k2
+
+
+@functools.lru_cache(maxsize=None)
+def _gt_kernels(tw: "Tower12"):
+    """Jitted (cyclotomic-square, mul) kernels for host-driven GT ladders."""
+    return jax.jit(tw.cyclotomic_square), jax.jit(tw.e12.mul)
+
+
 class Tower12:
     """Engines + constants for one Fp12 tower.
 
@@ -207,6 +247,183 @@ class Tower12:
     def inverse_cyclotomic(self, x):
         """In the cyclotomic subgroup, x^-1 == conjugate(x)."""
         return self.conjugate(x)
+
+    # -- GT exponentiation (runtime host scalars) ----------------------------
+
+    def gt_exp(self, x, e: int):
+        """x^e for cyclotomic x, NAF digits with free inversion (conjugate)
+        — the reference's CyclotomicExp (e12.go:512). e may be negative."""
+        e12 = self.e12
+        if e == 0:
+            return e12.broadcast_to(e12.ones(), e12.eshape(x))
+        if e < 0:
+            x = self.conjugate(x)
+            e = -e
+        digits = _naf(e)  # LSB first
+        xinv = self.conjugate(x)
+        from gnark_crypto_tpu.utils import hostloop
+        if not hostloop.is_tracing(x):
+            sq, mul = _gt_kernels(self)
+            res = None
+            for d in reversed(digits):
+                if res is not None:
+                    res = sq(res)
+                if d == 1:
+                    res = x if res is None else mul(res, x)
+                elif d == -1:
+                    res = xinv if res is None else mul(res, xinv)
+            return res
+        darr = jnp.asarray(digits[::-1], jnp.int32)
+
+        def body(res, d):
+            res = self.cyclotomic_square(res)
+            res = e12.where(d == 1, e12.mul(res, x), res)
+            res = e12.where(d == -1, e12.mul(res, xinv), res)
+            return res, None
+
+        res0 = e12.broadcast_to(e12.ones(), e12.eshape(x))
+        res, _ = jax.lax.scan(body, res0, darr)
+        return res
+
+    def gt_exp_glv(self, x, e: int):
+        """x^e via 2-dim GLV over the Frobenius endomorphism
+        (z^p == z^lambda on GT, lambda = p mod r) — e12.go:552 ExpGLV.
+        Halves the squaring count vs gt_exp; joint 1-bit ladder."""
+        e12 = self.e12
+        try:
+            from gnark_crypto_tpu.specs.curve import get_curve
+            r = get_curve(f"{self.name}_g1").fr.modulus
+        except KeyError:
+            return self.gt_exp(x, e)
+        if e == 0:
+            return e12.broadcast_to(e12.ones(), e12.eshape(x))
+        if e < 0:
+            x = self.conjugate(x)
+            e = -e
+        from gnark_crypto_tpu.specs.curve import _lattice_2d
+        lam = self.p % r
+        basis = _lattice_2d(r, lam)
+        k1, k2 = _decompose(e % r, lam, basis, r)
+        t1 = x if k1 >= 0 else self.conjugate(x)
+        fx = self.frobenius(x)
+        t2 = fx if k2 >= 0 else self.conjugate(fx)
+        k1, k2 = abs(k1), abs(k2)
+        t12 = e12.mul(t1, t2)
+        table = {1: t1, 2: t2, 3: t12}
+        nbits = max(k1.bit_length(), k2.bit_length())
+        from gnark_crypto_tpu.utils import hostloop
+        sq, mul = _gt_kernels(self)
+        res = None
+        assert not hostloop.is_tracing(x), "gt_exp_glv is host-driven"
+        for i in range(nbits - 1, -1, -1):
+            if res is not None:
+                res = sq(res)
+            s = ((k2 >> i) & 1) << 1 | ((k1 >> i) & 1)
+            if s:
+                res = table[s] if res is None else mul(res, table[s])
+        if res is None:
+            res = e12.broadcast_to(e12.ones(), e12.eshape(x))
+        return res
+
+    # -- Karabina compressed cyclotomic squaring -----------------------------
+    # (reference e12.go:142 CyclotomicSquareCompressed / :226
+    # DecompressKarabina / :296 BatchDecompressKarabina). NOTE: kept out of
+    # the Expt hot path on purpose — decompression costs one E2 division,
+    # and on TPU the field inverse is a ~300-step Fermat ladder, which
+    # outweighs the ~3 E2 squarings saved per compressed square (the
+    # reference's scalar GCD inverse is ~5 muls' worth, so it wins there).
+
+    def cyclotomic_square_compressed(self, x):
+        """Karabina 2345 squaring: updates g1,g2,g3,g5 only (g0,g4 pass
+        through unused). Th. 3.2 of eprint 2010/542 (e12.go:142)."""
+        e2 = self.e2
+        g0, g1, g2, g3, g4, g5 = self.coeffs6(x)
+        t0 = e2.square(g1)
+        t1 = e2.square(g5)
+        t5 = e2.add(g1, g5)
+        t2 = e2.square(t5)
+        t3 = e2.add(t0, t1)
+        t5 = e2.sub(t2, t3)                     # 2 g1 g5
+        t6 = e2.add(g3, g2)
+        t3 = e2.square(t6)                      # (g3+g2)^2
+        t2 = e2.square(g3)
+        t6 = self._mul_by_xi(t5)                # 2 nr g1 g5
+        t5 = e2.double(e2.add(t6, g3))
+        z3 = e2.add(t5, t6)                     # 6 nr g1 g5 + 2 g3
+        t4 = self._mul_by_xi(t1)
+        t5 = e2.add(t0, t4)                     # nr g5^2 + g1^2
+        t6 = e2.sub(t5, g2)
+        t1 = e2.square(g2)
+        t6 = e2.double(t6)
+        z2 = e2.add(t6, t5)                     # 3 nr g5^2 + 3 g1^2 - 2 g2
+        t4 = self._mul_by_xi(t1)
+        t5 = e2.add(t2, t4)                     # g3^2 + nr g2^2
+        t6 = e2.sub(t5, g1)
+        t6 = e2.double(t6)
+        z1 = e2.add(t6, t5)                     # 3 g3^2 + 3 nr g2^2 - 2 g1
+        t0 = e2.add(t2, t1)
+        t5 = e2.sub(t3, t0)                     # 2 g3 g2
+        t6 = e2.add(t5, g5)
+        t6 = e2.double(t6)
+        z5 = e2.add(t5, t6)                     # 6 g3 g2 + 2 g5
+        return self.from_coeffs6([g0, z1, z2, z3, g4, z5])
+
+    def decompress_karabina(self, x):
+        """Recover (g0, g4) from a compressed (g1,g2,g3,g5) element, fully
+        masked/batched (the reference's data-dependent branches become
+        selects; division is batched — e12.go:226/:296)."""
+        e2 = self.e2
+        _, g1, g2, g3, _, g5 = self.coeffs6(x)
+        g3_zero = e2.is_zero(g3)
+        both_zero = g3_zero & e2.is_zero(g2)
+
+        # branch g3 == 0: t0 = 2 g1 g5, t1 = g2
+        a0 = e2.double(e2.mul(g1, g5))
+        # branch g3 != 0: t0 = nr g5^2 + 3 g1^2 - 2 g2, t1 = 4 g3
+        sq1 = e2.square(g1)
+        b0 = e2.add(self._mul_by_xi(e2.square(g5)),
+                    e2.add(sq1, e2.double(e2.sub(sq1, g2))))
+        t0 = e2.where(g3_zero, a0, b0)
+        t1 = e2.where(g3_zero, g2, e2.double(e2.double(g3)))
+        one = e2.broadcast_to(e2.ones(), e2.eshape(g1))
+        # guard the x == 1 lanes (t1 would be 0) before the batched inverse
+        t1 = e2.where(both_zero, one, t1)
+        g4 = e2.mul(t0, e2.inverse(t1))
+
+        # g0 = nr (2 g4^2 + g3 g5 - 3 g2 g1) + 1
+        t1b = e2.mul(g2, g1)
+        t2 = e2.sub(e2.double(e2.sub(e2.square(g4), t1b)), t1b)
+        t2 = e2.add(t2, e2.mul(g3, g5))
+        g0 = e2.add(self._mul_by_xi(t2), one)
+
+        zero = e2.zeros(e2.eshape(g1))
+        g0 = e2.where(both_zero, one, g0)
+        g1 = e2.where(both_zero, zero, g1)
+        g2 = e2.where(both_zero, zero, g2)
+        g3 = e2.where(both_zero, zero, g3)
+        g4 = e2.where(both_zero, zero, g4)
+        g5 = e2.where(both_zero, zero, g5)
+        return self.from_coeffs6([g0, g1, g2, g3, g4, g5])
+
+    # -- torus (T2) compression ---------------------------------------------
+
+    def compress_torus(self, x):
+        """GT element -> E6 torus representative g = (1 + c0)/c1
+        (e12.go:748 CompressTorus; batched division == BatchCompressTorus).
+        Undefined for c1 == 0 (x == ±1) — reference returns an error."""
+        e6, e12 = self.e6, self.e12
+        c0, c1 = e12.coeff(x, 0), e12.coeff(x, 1)
+        one = e6.broadcast_to(e6.ones(), e6.eshape(c0))
+        return e6.mul(e6.add(c0, one), e6.inverse(c1))
+
+    def decompress_torus(self, g):
+        """E6 torus representative -> GT: (g + w)/(g - w)
+        (e12.go:798 DecompressTorus)."""
+        e6, e12 = self.e6, self.e12
+        one = e6.broadcast_to(e6.ones(), e6.eshape(g))
+        num = e12.build([g, one])
+        den = e12.build([g, e6.neg(one)])
+        return e12.mul(num, e12.inverse(den))
 
     # -- sparse E6 helpers (Miller-line products) ---------------------------
     def _e6_mul_by_01(self, z, c0, c1):

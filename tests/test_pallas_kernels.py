@@ -11,6 +11,38 @@ from gnark_crypto_tpu.field.pallas.mont_mul import mont_mul
 from gnark_crypto_tpu.specs import field as fs
 
 
+@pytest.mark.parametrize("name", ["bn254_g1", "secp256r1_g1"])
+def test_pallas_jac_add_double_matches_engine(name):
+    """Fused point kernels vs the XLA group law, incl. the complete-add
+    edge cases (P==Q, P==-Q, infinities)."""
+    from gnark_crypto_tpu.curve.jacobian import Jac, curve_ops
+    from gnark_crypto_tpu.field.pallas.point_add import jac_add, jac_double
+    from gnark_crypto_tpu.specs import curve as cs
+    from tests.test_curve_g1 import pts_to_device, rand_points
+
+    curve = curve_ops(cs.get_curve(name))
+    p = curve.spec.fp.modulus
+    pts1 = rand_points(curve, 4, 11)
+    pts2 = rand_points(curve, 4, 12)
+    pts1 += [pts1[0], pts1[1], pts1[2], None, None]
+    pts2 += [pts1[0], (pts1[1][0], (-pts1[1][1]) % p), None, pts2[2], None]
+
+    P = curve.from_affine(pts_to_device(curve, pts1))
+    Q = curve.from_affine(pts_to_device(curve, pts2))
+    expect = curve.add(P, Q)
+    got = Jac(*jac_add(curve.spec.fp, curve.spec.a, *P, *Q,
+                       interpret=True))
+    assert bool(np.asarray(curve.eq_jac(got, expect)).all())
+    # infinity stays canonically encoded (all-zero limbs)
+    inf = np.asarray(curve.is_inf_jac(expect))
+    assert np.asarray(got.z)[inf].max(initial=0) == 0
+
+    expect_d = curve.double(P)
+    got_d = Jac(*jac_double(curve.spec.fp, curve.spec.a, *P,
+                            interpret=True))
+    assert bool(np.asarray(curve.eq_jac(got_d, expect_d)).all())
+
+
 @pytest.mark.parametrize("spec", [fs.BN254_FR, fs.BLS12_381_FP],
                          ids=lambda s: s.name)
 def test_pallas_mont_mul_matches_engine(spec):
