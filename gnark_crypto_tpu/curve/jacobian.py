@@ -54,6 +54,23 @@ class Curve:
                 yield v
 
         self.a_is_zero = all(c == 0 for c in _flat(spec.a))
+        # fused Pallas point kernels are available for curves over base
+        # prime fields (limb layout); towers (G2) stay on the XLA path
+        self._pallas_ok = (isinstance(self.fp, FieldEngine)
+                           and self.fp.elem_dims == 1
+                           and isinstance(spec.a, int))
+
+    def _use_pallas_point(self, *coords) -> bool:
+        """Route big batches to the fused Pallas add/double kernels
+        (field/pallas/point_add.py): one kernel launch instead of ~16
+        separate Montgomery-mul dispatches with relayouts between each."""
+        if not self._pallas_ok or jax.default_backend() != "tpu":
+            return False
+        shapes = {getattr(c, "shape", None) for c in coords}
+        if len(shapes) != 1:
+            return False
+        sh = shapes.pop()
+        return sh is not None and len(sh) == 2 and sh[0] >= 512
 
     # -- constructors -------------------------------------------------------
     def const_affine(self, x: int, y: int) -> Affine:
@@ -137,6 +154,9 @@ class Curve:
     def double(self, p: Jac) -> Jac:
         """dbl-2009-l (a=0) / dbl-2007-bl (general a); handles infinity freely
         (Z3 = 2*Y*Z = 0 when Z = 0). Reference: g1.go:397-424 DoubleAssign."""
+        if self._use_pallas_point(*p):
+            from gnark_crypto_tpu.field.pallas.point_add import jac_double
+            return Jac(*jac_double(self.spec.fp, self.spec.a, *p))
         f = self.fp
         A = f.square(p.x)
         B = f.square(p.y)
@@ -156,6 +176,9 @@ class Curve:
 
     def add(self, p: Jac, q: Jac) -> Jac:
         """Complete (masked) add-2007-bl. Reference: g1.go:332 AddAssign."""
+        if self._use_pallas_point(*p, *q):
+            from gnark_crypto_tpu.field.pallas.point_add import jac_add
+            return Jac(*jac_add(self.spec.fp, self.spec.a, *p, *q))
         f = self.fp
         z1z1 = f.square(p.z)
         z2z2 = f.square(q.z)
@@ -271,6 +294,43 @@ class Curve:
         acc, _ = jax.lax.scan(body, acc0, bits)
         return acc
 
+    def joint_scalar_mul(self, p: Jac, q: Jac, k1, k2,
+                         nbits: int | None = None) -> Jac:
+        """[k1]P + [k2]Q with one shared doubling chain (Strauss-Shamir,
+        reference g1.go:873 JointScalarMultiplication) — ~nbits doublings
+        instead of 2*nbits for two separate ladders. The reference's 2-bit
+        table lookup becomes two masked adds per step (the p+q combination
+        is covered by both masks firing)."""
+        f = self.fp
+        bits1 = self.scalar_bits(k1, nbits)
+        bits2 = self.scalar_bits(k2, nbits)
+        acc0 = self.inf_jac(f.eshape(p.x))
+
+        from gnark_crypto_tpu.utils import hostloop
+        if not hostloop.is_tracing(p, q, k1, k2):
+            import numpy as np
+
+            dbl, dbl_add2 = _joint_ladder_ops(self)
+            r1, r2 = np.asarray(bits1), np.asarray(bits2)
+            acc = acc0
+            for b1, b2 in zip(r1, r2):
+                if b1.max() == 0 and b2.max() == 0:
+                    acc = dbl(acc)
+                else:
+                    acc = dbl_add2(acc, p, q, jnp.asarray(b1),
+                                   jnp.asarray(b2))
+            return acc
+
+        def body(acc, bb):
+            b1, b2 = bb
+            acc = self.double(acc)
+            acc = _sel(f, b1 == 1, self.add(acc, p), acc)
+            acc = _sel(f, b2 == 1, self.add(acc, q), acc)
+            return acc, None
+
+        acc, _ = jax.lax.scan(body, acc0, (bits1, bits2))
+        return acc
+
 
 def _sel(f: FieldEngine, cond, a, b):
     return type(a)(*(f.where(cond, xa, xb) for xa, xb in zip(a, b)))
@@ -286,6 +346,19 @@ def _ladder_ops(curve: "Curve"):
         return _sel(curve.fp, bit_row == 1, curve.add(acc, p), acc)
 
     return dbl, jax.jit(_dbl_add)
+
+
+@functools.lru_cache(maxsize=None)
+def _joint_ladder_ops(curve: "Curve"):
+    """Jitted kernels for the eager joint (Strauss-Shamir) ladder."""
+    dbl = jax.jit(curve.double)
+
+    def _dbl_add2(acc, p, q, b1, b2):
+        acc = curve.double(acc)
+        acc = _sel(curve.fp, b1 == 1, curve.add(acc, p), acc)
+        return _sel(curve.fp, b2 == 1, curve.add(acc, q), acc)
+
+    return dbl, jax.jit(_dbl_add2)
 
 
 @functools.lru_cache(maxsize=None)

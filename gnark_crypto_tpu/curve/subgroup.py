@@ -212,6 +212,67 @@ def has_fast_check(curve: Curve) -> bool:
     return _check_fn(curve) is not None
 
 
+def is_in_subgroup_batch(curve: Curve, pts: Affine,
+                         rand_bytes=None) -> bool:
+    """All-points membership for a batch (g1.go:215 IsInSubGroupBatchG1).
+
+    n < 80: deterministic per-point checks. Otherwise the probabilistic
+    method (g1.go:243 isInSubGroupBatchG1Prob): 64 random {0,1}-subset sums
+    S_j = sum_i s_ij P_i, each checked with the per-curve fast path — error
+    probability < 2^-64. Coefficients are drawn with fresh crypto randomness
+    at CHECK time (os.urandom); ``rand_bytes`` only overrides for tests.
+    """
+    import numpy as np
+
+    n = curve.fp.eshape(pts.x)[0]
+    if n < 80:
+        return bool(np.asarray(is_in_subgroup(curve, pts)).all())
+    import os
+    rb = (rand_bytes or os.urandom)(8 * n)
+    bits = np.unpackbits(
+        np.frombuffer(rb, np.uint8).reshape(n, 8), axis=1)[:, :64]
+    sums = _subset_sums(curve)(pts.x, pts.y, jnp.asarray(bits.T, jnp.int32))
+    mask = is_in_subgroup(curve, curve.to_affine(Jac(*sums)))
+    return bool(np.asarray(mask).all())
+
+
+@functools.lru_cache(maxsize=None)
+def _subset_sums(curve: Curve):
+    """jit: (px, py, bits (64, N)) -> 64 masked tree-sums of the batch."""
+
+    def run(px, py, bits):
+        f = curve.fp
+        pj = curve.from_affine(Affine(px, py))
+        inf = curve.inf_jac(f.eshape(px))
+
+        def one(carry, row):
+            masked = _sel(f, row == 1, pj, inf)
+            s = _tree_sum_jac(curve, masked)
+            return carry, tuple(jax.tree.map(lambda a: a[0], tuple(s)))
+
+        _, sums = lax.scan(one, 0, bits)
+        return sums
+
+    return jax.jit(run)
+
+
+def _tree_sum_jac(curve: Curve, p: Jac) -> Jac:
+    """Log-depth pairwise sum along the leading element axis."""
+    f = curve.fp
+    n = f.eshape(p.x)[0]
+    while n > 1:
+        if n % 2:
+            pad = curve.inf_jac((1,))
+            p = Jac(*jax.tree.map(
+                lambda z, a: jnp.concatenate([a, z], axis=0), tuple(pad),
+                tuple(p)))
+            n += 1
+        p = curve.add(Jac(*jax.tree.map(lambda a: a[: n // 2], tuple(p))),
+                      Jac(*jax.tree.map(lambda a: a[n // 2 : n], tuple(p))))
+        n //= 2
+    return p
+
+
 def is_in_subgroup(curve: Curve, pts: Affine):
     """Batched r-torsion mask for affine points (assumed on-curve).
 

@@ -64,6 +64,7 @@ class MiMC:
         self._cs_mont = self.eng.to_mont(
             self.eng.from_int(list(constants(spec)), mont=False))
         self._data: list[bytes] = []
+        self._state = 0  # flushed Miyaguchi-Preneel chaining value (plain)
 
     # -- device path --------------------------------------------------------
     def _encrypt(self, m, h):
@@ -84,15 +85,19 @@ class MiMC:
         m, _ = lax.scan(body, m, self._cs_mont)
         return eng.add(m, h)
 
-    def hash_elements(self, blocks):
+    def hash_elements(self, blocks, h0: int = 0):
         """(nb_blocks, batch) plain fr -> (batch,) plain fr digests.
 
         Miyaguchi-Preneel: h = E_h(m) + h + m per block (mimc.go:186-190).
+        ``h0``: initial chaining value (SetState support, mimc.go:279).
         """
         eng = self.eng
         bm = eng.to_mont(blocks)
         nb = blocks.shape[0]
-        h = eng.zeros(eng.eshape(bm[0]))
+        if h0:
+            h = eng.broadcast_to(eng.from_int(h0), eng.eshape(bm[0]))
+        else:
+            h = eng.zeros(eng.eshape(bm[0]))
 
         def body(h, m):
             r = self._encrypt(m, h)
@@ -104,6 +109,25 @@ class MiMC:
     # -- host hash.Hash-compatible path (reference Write/Sum semantics) -----
     def reset(self):
         self._data = []
+        self._state = 0
+
+    def set_state(self, new_state: bytes):
+        """Load an externally saved chaining value (mimc.go:279 SetState):
+        must be canonical fr bytes; discards buffered blocks."""
+        if len(new_state) != self.spec.n_bytes:
+            raise ValueError(
+                f"mimc state must be {self.spec.n_bytes} bytes")
+        v = int.from_bytes(new_state, "big")
+        if v >= self.spec.modulus:
+            raise ValueError("invalid mimc state (non-canonical)")
+        self._state = v
+        self._data = []
+
+    def state(self) -> bytes:
+        """Flush buffered blocks into the chaining value and return it
+        (mimc.go:295 State)."""
+        out = self.sum()
+        return out
 
     def write(self, data: bytes):
         """Strict: data must be canonical fr chunks (mimc.go Write)."""
@@ -117,14 +141,19 @@ class MiMC:
             self._data.append(chunk)
 
     def sum(self) -> bytes:
+        """Fold buffered blocks into the chaining value and return its bytes
+        (reference Sum flushes: checksum mutates d.h, mimc.go:109,178)."""
         if not self._data:
-            # no blocks -> state stays 0 (matches reference checksum)
-            return self.eng.to_bytes_host(self.eng.zeros((1,)), mont=False)[0]
+            # no blocks -> current state (0 on a fresh hasher)
+            return self._state.to_bytes(self.spec.n_bytes, "big")
         vals = [int.from_bytes(c, "big") for c in self._data]
         arr = self.eng.from_int(vals, mont=False)
         arr = arr.reshape(len(vals), 1, *arr.shape[1:])
-        out = self.hash_elements(arr)
-        return self.eng.to_bytes_host(out, mont=False)[0]
+        out = self.hash_elements(arr, h0=self._state)
+        buf = self.eng.to_bytes_host(out, mont=False)[0]
+        self._state = int.from_bytes(buf, "big")
+        self._data = []
+        return buf
 
     # hashlib-style aliases (for Transcript)
     def update(self, data: bytes):

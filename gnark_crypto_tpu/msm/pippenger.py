@@ -173,19 +173,54 @@ def _bucket_accumulate(curve: Curve, points: Affine, mag, neg, c: int):
     return buckets
 
 
-def _weighted_sweep(curve: Curve, buckets: Jac, c: int):
+def _tree_sum(curve: Curve, p: Jac, axis: int):
+    """Sum a Jac batch along ``axis`` with log-depth pairwise adds."""
+    n = p.x.shape[axis]
+    while n > 1:
+        if n % 2:
+            pad = curve.inf_jac(
+                tuple(1 if i == axis else d
+                      for i, d in enumerate(curve.fp.eshape(p.x))))
+            p = jax.tree.map(
+                lambda z, a: jnp.concatenate([a, z], axis=axis), pad, p)
+            n += 1
+        lo = jax.tree.map(lambda a: lax.slice_in_dim(a, 0, n // 2, axis=axis),
+                          p)
+        hi = jax.tree.map(lambda a: lax.slice_in_dim(a, n // 2, n, axis=axis),
+                          p)
+        p = curve.add(Jac(*lo), Jac(*hi))
+        n //= 2
+    return Jac(*jax.tree.map(lambda a: jnp.squeeze(a, axis), p))
+
+
+def _weighted_sweep(curve: Curve, buckets: Jac, c: int,
+                    n_chunks: int = 128):
     """buckets (nwin, half+1, ...) -> window totals sum_j j*B_j (nwin, ...).
 
-    Running-sum sweep (multiexp.go bucket sweep), vectorized across windows:
-    for j = half..1: S += B_j; T += S.
+    The reference's running-sum sweep (for j = half..1: S += B_j; T += S,
+    multiexp.go bucket sweep) is a 2^(c-1)-step sequential chain — hostile
+    to the TPU. Chunked equivalent: split each window's buckets into S
+    chunks of m = half/S; run the work-optimal running sweep on all
+    nwin*S chunks in parallel (m wide steps), producing local weighted
+    sums T_k and chunk sums C_k with j = k*m + i:
+
+        sum_j j*B_j = sum_k T_k + m * sum_k k*C_k
+
+    sum_k T_k is a log-depth tree sum; sum_k k*C_k reuses the identity
+    sum_k k*C_k = sum_{k>=1} suffix_k (suffix_k = sum_{j>=k} C_j), computed
+    with a log-depth Hillis-Steele suffix scan; m*X is log2(m) doublings.
     """
     f = curve.fp
     half = 1 << (c - 1)
     nwin = buckets.x.shape[0]
-    s0 = curve.inf_jac((nwin,))
-    t0 = curve.inf_jac((nwin,))
+    S = min(half, n_chunks)
+    m = half // S
 
-    rev = jax.tree.map(lambda a: a[:, 1:][:, ::-1].swapaxes(0, 1), buckets)
+    # (nwin, half) buckets j=1..half -> (m, nwin*S) scan order i=m..1
+    rev = jax.tree.map(
+        lambda a: a[:, 1:].reshape(nwin * S, m, *a.shape[2:])[:, ::-1]
+        .swapaxes(0, 1), buckets)
+    s0 = curve.inf_jac((nwin * S,))
 
     def body(carry, bj):
         s, t = carry
@@ -193,8 +228,31 @@ def _weighted_sweep(curve: Curve, buckets: Jac, c: int):
         t = curve.add(t, s)
         return (s, t), None
 
-    (s, t), _ = lax.scan(body, (s0, t0), tuple(rev))
-    return t
+    (c_k, t_k), _ = lax.scan(body, (s0, s0), tuple(rev))
+
+    t_k = jax.tree.map(lambda a: a.reshape(nwin, S, *a.shape[1:]), t_k)
+    sum_t = _tree_sum(curve, Jac(*t_k), axis=1)
+    if S == 1:
+        return sum_t
+
+    # suffix scan over chunks: suffix_k = sum_{j >= k} C_j
+    suf = jax.tree.map(lambda a: a.reshape(nwin, S, *a.shape[1:]), c_k)
+    stride = 1
+    while stride < S:
+        shifted = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a[:, stride:],
+                 jnp.zeros_like(a[:, :stride])], axis=1), suf)
+        added = curve.add(Jac(*suf), Jac(*shifted))
+        # entries past the end stay as-is (their shifted operand is the
+        # all-zero infinity encoding, which curve.add already absorbs)
+        suf = added
+        stride *= 2
+    # sum_k k*C_k = sum_{k=1..S-1} suffix_k
+    w = _tree_sum(curve, Jac(*jax.tree.map(lambda a: a[:, 1:], suf)), axis=1)
+    for _ in range(m.bit_length() - 1):  # * m (power of two)
+        w = curve.double(w)
+    return curve.add(sum_t, w)
 
 
 def _fold_windows(curve: Curve, totals: Jac, c: int):
@@ -250,6 +308,73 @@ def msm(spec: CurveSpec, points: Affine, scalars, c: int | None = None) -> Jac:
     assert scalars.shape[0] == n, "len(points) != len(scalars)"
     c = c or best_c(n)
     return _msm_jit(spec, points.x, points.y, c, scalars=scalars)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _batch_scalar_mul_jit(spec, bx, by, c: int, scalars=None):
+    curve = _resolve(spec)
+    f = curve.fp
+    half = 1 << (c - 1)
+    n = scalars.shape[0]
+
+    # shared signed-digit base table [inf, B, 2B, .., half*B] — built once
+    # at batch 1 (2^(c-1) sequential adds, negligible vs the scan)
+    b1 = Jac(f.reshape(bx, (1,)), f.reshape(by, (1,)),
+             f.broadcast_to(f.ones(), (1,)))
+    entries = [curve.inf_jac((1,)), b1]
+    for _ in range(half - 1):
+        entries.append(curve.add(entries[-1], b1))
+    table = Jac(*(jnp.concatenate(comp, axis=0)
+                  for comp in zip(*entries)))       # (half+1, ...)
+
+    mags, negs = signed_digits(curve, scalars, c)
+
+    def body(acc, xs):
+        mag, neg = xs
+        for _ in range(c):
+            acc = curve.double(acc)
+        t = Jac(*(jnp.take(comp, mag, axis=0) for comp in table))
+        t = Jac(t.x, f.where(neg, f.neg(t.y), t.y), t.z)
+        return curve.add(acc, t), None
+
+    acc0 = curve.inf_jac((n,))
+    rev = jax.tree.map(lambda a: a[::-1], (mags, negs))  # MSB window first
+    acc, _ = lax.scan(body, acc0, rev)
+    return acc
+
+
+def batch_scalar_mul(spec: CurveSpec, base: Affine, scalars,
+                     c: int | None = None) -> Jac:
+    """[k_i]B for one shared base B (g1.go:1316 BatchScalarMultiplicationG1,
+    used by KZG SRS generation): one signed-digit window table shared by
+    every lane, then nbits doublings + nbits/c table adds per lane — c-fold
+    fewer adds than the plain batched ladder.
+
+    base: single affine point (element shape () or (1,)); scalars: plain fr
+    array (N). Returns Jac (N). ``spec`` may be a Curve (G2 engines).
+    """
+    curve = _resolve(spec)
+    n = scalars.shape[0]
+    c = c or max(2, min(10, best_c(n)))
+    f = curve.fp
+    bx, by = base.x, base.y
+    if f.eshape(bx) == (1,):
+        bx, by = jax.tree.map(lambda a: a[0], (bx, by))
+    return _batch_scalar_mul_jit(spec, bx, by, c, scalars=scalars)
+
+
+def fold(spec: CurveSpec, points: Affine, coeff: int,
+         c: int | None = None) -> Jac:
+    """sum_i coeff^i * points[i] (reference Fold, multiexp.go:321) — the
+    random-linear-combination primitive used by batch verifiers."""
+    curve = _resolve(spec)
+    r = curve.spec.fr.modulus
+    n = points.x.shape[0]
+    ks, acc = [], 1
+    for _ in range(n):
+        ks.append(acc)
+        acc = acc * coeff % r
+    return msm(spec, points, curve.fr.from_int(ks, mont=False), c=c)
 
 
 def msm_naive(spec: CurveSpec, points: Affine, scalars) -> Jac:

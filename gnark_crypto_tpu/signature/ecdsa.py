@@ -115,7 +115,9 @@ class ECDSA:
         if not bool(np.asarray(self.curve.on_curve_affine(pub.q))[0]):
             return False
         if getattr(self.spec, "cofactor", 1) != 1:
-            k = self.curve.fr.from_int([n], mont=False)
+            # reduce=False: n is the fr modulus, so a reducing from_int
+            # would silently turn this into the vacuous [0]Q check
+            k = self.curve.fr.from_int([n], mont=False, reduce=False)
             rn = self.curve.scalar_mul(self.curve.from_affine(pub.q), k,
                                        nbits=n.bit_length() + 1)
             if not bool(np.asarray(self.curve.is_inf_jac(rn))[0]):
@@ -125,16 +127,17 @@ class ECDSA:
         u1 = h * w % n
         u2 = sig.r * w % n
         c = self.curve
-        p1 = c.scalar_mul(
-            c.from_affine(Affine(
-                c.fp.broadcast_to(c.generator_affine().x, (1,)),
-                c.fp.broadcast_to(c.generator_affine().y, (1,)))),
-            c.fr.from_int([u1], mont=False))
-        p2 = c.scalar_mul(c.from_affine(pub.q),
-                          c.fr.from_int([u2], mont=False))
-        rp = c.to_affine(c.add(p1, p2))
-        if bool(np.asarray(c.is_inf_jac(c.add(p1, p2)))[0]):
+        # [u1]G + [u2]Q with a shared doubling chain (the reference's
+        # JointScalarMultiplicationBase, g1.go:873)
+        g = c.from_affine(Affine(
+            c.fp.broadcast_to(c.generator_affine().x, (1,)),
+            c.fp.broadcast_to(c.generator_affine().y, (1,))))
+        res = c.joint_scalar_mul(g, c.from_affine(pub.q),
+                                 c.fr.from_int([u1], mont=False),
+                                 c.fr.from_int([u2], mont=False))
+        if bool(np.asarray(c.is_inf_jac(res))[0]):
             return False
+        rp = c.to_affine(res)
         return c.fp.to_int(rp.x)[0] % n == sig.r
 
     # -- serialization (ecdsa/marshal.go: r||s big-endian fr pairs) ---------
