@@ -63,7 +63,12 @@ class Curve:
     def _use_pallas_point(self, *coords) -> bool:
         """Route big batches to the fused Pallas add/double kernels
         (field/pallas/point_add.py): one kernel launch instead of ~16
-        separate Montgomery-mul dispatches with relayouts between each."""
+        separate Montgomery-mul dispatches with relayouts between each.
+        GNARK_TPU_NO_PALLAS_POINT=1 forces the XLA path (escape hatch for
+        Mosaic regressions on new hardware)."""
+        import os
+        if os.environ.get("GNARK_TPU_NO_PALLAS_POINT"):
+            return False
         if not self._pallas_ok or jax.default_backend() != "tpu":
             return False
         shapes = {getattr(c, "shape", None) for c in coords}

@@ -75,14 +75,17 @@ def _g1(name):
 def new_srs(name: str, size: int, alpha: int) -> SRS:
     """SRS from secret alpha (kzg.go:73 NewSRS). Test/bench use only —
     production SRS comes from the MPC ceremony (mpcsetup)."""
+    from gnark_crypto_tpu.msm.pippenger import batch_scalar_mul
+
     g1c = _g1(name)
     g2c = g2_curve(name)
     r = g1c.spec.fr.modulus
     powers = [pow(alpha, i, r) for i in range(size)]
     k = g1c.fr.from_int(powers, mont=False)
     g = g1c.generator_affine()
-    base = Jac(*(g1c.fp.broadcast_to(c, (size,)) for c in g1c.from_affine(g)))
-    pk_g1 = g1c.to_affine(g1c.scalar_mul(base, k))
+    # one-base batch mul: shared window table, nbits/c adds per power
+    # (the reference's BatchScalarMultiplicationG1 call in kzg.go:73)
+    pk_g1 = g1c.to_affine(batch_scalar_mul(g1c.spec, g, k))
 
     g2gen = g2c.generator_affine()
     g2b = Jac(*(g2c.fp.broadcast_to(c, (1,)) for c in g2c.from_affine(g2gen)))
