@@ -18,6 +18,14 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     return Mesh(np.asarray(devs[:n]), (axis,))
 
 
+def make_mesh_2d(shape: tuple[int, int], axes=("dp", "win")) -> Mesh:
+    """2D mesh, e.g. {points x windows} for the sharded MSM (SURVEY §2.4:
+    'msm-points axis x window axis')."""
+    devs = jax.devices()
+    d = shape[0] * shape[1]
+    return Mesh(np.asarray(devs[:d]).reshape(shape), axes)
+
+
 def shard_leading(mesh: Mesh, x, axis: str = "dp"):
     """Place an array sharded along its leading axis."""
     spec = P(axis, *([None] * (x.ndim - 1)))

@@ -55,3 +55,29 @@ def test_dist_msm_matches_single_chip():
     exp_a = affine_to_ints(curve, curve.to_affine(
         jax.tree.map(lambda x: x[None], expect)))
     assert got_a == exp_a
+
+
+def test_dist_msm_2d_matches_single_chip():
+    """{points x windows} 2D mesh MSM == single-chip (window-axis sharding,
+    the reference's goroutine-per-chunk axis mapped to chips)."""
+    from gnark_crypto_tpu.dist.mesh import make_mesh_2d
+    from gnark_crypto_tpu.dist.msm import msm_sharded_2d
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh_2d((2, 4), axes=("dp", "win"))
+    spec = cs.get_curve("bn254_g1")
+    curve = curve_ops(spec)
+    n = 16
+    pts = rand_points(curve, n, seed=21)
+    rng = random.Random(22)
+    ks = [rng.randrange(curve.spec.fr.modulus) for _ in range(n)]
+    P = pts_to_device(curve, pts)
+    k_dev = curve.fr.from_int(ks, mont=False)
+
+    got = msm_sharded_2d(spec, mesh, P, k_dev, c=4)
+    expect = pippenger.msm(spec, P, k_dev, c=4)
+    got_a = affine_to_ints(curve, curve.to_affine(
+        jax.tree.map(lambda x: x[None], got)))
+    exp_a = affine_to_ints(curve, curve.to_affine(
+        jax.tree.map(lambda x: x[None], expect)))
+    assert got_a == exp_a
