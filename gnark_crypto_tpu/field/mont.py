@@ -513,8 +513,21 @@ def _sqrt_tonelli(spec: FieldSpec, x):
 # bytes (gnark-compatible canonical big-endian)
 # ---------------------------------------------------------------------------
 
+# Above this many elements the host codec switches from per-element Python
+# bigints to the vectorized numpy path (field/mont_np.py) — the bulk-IO tier
+# matching the reference's asm-speed Vector.ReadFrom / unsafe dump.
+_NP_CODEC_MIN = 64
+
+
 def to_bytes_host(spec: FieldSpec, x, mont: bool = True) -> list[bytes]:
     """Canonical big-endian fixed-width bytes (``element.go:1000`` Bytes())."""
+    arr = np.asarray(x)
+    if arr.ndim == 2 and arr.shape[0] >= _NP_CODEC_MIN:
+        from gnark_crypto_tpu.field import mont_np
+
+        buf = mont_np.to_bytes_np(spec, arr, mont=mont)
+        nb = spec.n_bytes
+        return [buf[i * nb : (i + 1) * nb] for i in range(arr.shape[0])]
     vals = to_int(spec, x, mont=mont)
     if isinstance(vals, int):
         vals = [vals]
@@ -523,6 +536,11 @@ def to_bytes_host(spec: FieldSpec, x, mont: bool = True) -> list[bytes]:
 
 def from_bytes_host(spec: FieldSpec, bs, mont: bool = True) -> jax.Array:
     """Strict canonical decode; raises on >= q (``SetBytes``, ``element.go:1018``)."""
+    if len(bs) >= _NP_CODEC_MIN:
+        from gnark_crypto_tpu.field import mont_np
+
+        limbs = mont_np.from_bytes_np(spec, b"".join(bs), len(bs), mont=mont)
+        return jnp.asarray(limbs)
     vals = []
     for b in bs:
         v = int.from_bytes(b, "big")

@@ -139,3 +139,41 @@ def test_legendre():
     x = mont.from_int(spec, vals)
     got = mont.to_int(spec, mont.legendre(spec, x))
     assert got == [pow(v, (q - 1) // 2, q) for v in vals]
+
+
+def test_np_codec_matches_python_path():
+    """Vectorized numpy bytes<->limbs codec (field/mont_np.py, the bulk-IO
+    tier) is bit-identical to the per-element bigint path, both directions,
+    mont and plain, and rejects non-canonical encodings."""
+    import random
+
+    import numpy as np
+    import pytest
+
+    from gnark_crypto_tpu.field import mont, mont_np
+    from gnark_crypto_tpu.specs import field as fs
+
+    for spec in (fs.BN254_FR, fs.BLS12_381_FP, fs.get_field("goldilocks")):
+        rng = random.Random(hash(spec.name) & 0xFFFF)
+        vals = [0, 1, spec.modulus - 1] + [rng.randrange(spec.modulus)
+                                           for _ in range(13)]
+        bs = [v.to_bytes(spec.n_bytes, "big") for v in vals]
+        for m in (True, False):
+            # decode: numpy path vs python path
+            got = np.asarray(mont_np.from_bytes_np(spec, b"".join(bs),
+                                                   len(bs), mont=m))
+            expect = np.asarray(mont.from_int(spec, vals, mont=m))
+            assert np.array_equal(got, expect), (spec.name, m)
+            # encode roundtrip
+            back = mont_np.to_bytes_np(spec, got, mont=m)
+            assert back == b"".join(bs), (spec.name, m)
+        # non-canonical rejection
+        bad = (spec.modulus).to_bytes(spec.n_bytes, "big")
+        with pytest.raises(ValueError):
+            mont_np.from_bytes_np(spec, bad, 1)
+        # threshold dispatch: big batch through the public API
+        big = [rng.randrange(spec.modulus) for _ in range(80)]
+        bufs = [v.to_bytes(spec.n_bytes, "big") for v in big]
+        arr = mont.from_bytes_host(spec, bufs)
+        assert mont.to_int(spec, arr) == big
+        assert mont.to_bytes_host(spec, arr) == bufs
