@@ -308,6 +308,14 @@ def inner_product(spec: FieldSpec, x, y):
 # ---------------------------------------------------------------------------
 
 def to_bytes_host(spec: FieldSpec, x, mont: bool = True) -> list[bytes]:
+    arr = np.asarray(x)
+    if arr.ndim == 1 and arr.shape[0] >= 64 and spec.n_bytes == 4:
+        # bulk tier: single uint32 lane, 4-byte big-endian wire format
+        vals = arr.astype(np.uint64)
+        if mont:
+            vals = (vals * spec.r_inv) % spec.modulus
+        be = vals.astype(">u4").tobytes()
+        return [be[i * 4 : (i + 1) * 4] for i in range(arr.shape[0])]
     vals = to_int(spec, x, mont=mont)
     if isinstance(vals, int):
         vals = [vals]
@@ -315,6 +323,13 @@ def to_bytes_host(spec: FieldSpec, x, mont: bool = True) -> list[bytes]:
 
 
 def from_bytes_host(spec: FieldSpec, bs, mont: bool = True) -> jax.Array:
+    if len(bs) >= 64 and spec.n_bytes == 4:
+        vals = np.frombuffer(b"".join(bs), ">u4").astype(np.uint64)
+        if (vals >= spec.modulus).any():
+            raise ValueError("non-canonical field element encoding")
+        if mont:
+            vals = (vals * spec.r) % spec.modulus
+        return jnp.asarray(vals.astype(np.uint32))
     vals = []
     for b in bs:
         v = int.from_bytes(b, "big")

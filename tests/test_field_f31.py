@@ -64,3 +64,27 @@ def test_reductions(spec):
     assert f31.to_int(spec, f31.sum_reduce(spec, x)) == sum(a) % q
     assert f31.to_int(spec, f31.inner_product(spec, x, y)) == (
         sum(u * v for u, v in zip(a, b)) % q)
+
+
+def test_f31_bulk_codec_matches_python_path():
+    """Vectorized uint32 byte codec (>=64 elems) == per-element path."""
+    import random
+
+    import numpy as np
+    import pytest
+
+    from gnark_crypto_tpu.field import f31
+    from gnark_crypto_tpu.specs import field as fs
+
+    spec = fs.KOALABEAR
+    rng = random.Random(3)
+    vals = [0, 1, spec.modulus - 1] + [rng.randrange(spec.modulus)
+                                       for _ in range(97)]
+    bufs = [v.to_bytes(4, "big") for v in vals]
+    for m in (True, False):
+        got = np.asarray(f31.from_bytes_host(spec, bufs, mont=m))
+        expect = np.asarray(f31.from_int(spec, vals, mont=m))
+        assert np.array_equal(got, expect)
+        assert f31.to_bytes_host(spec, got, mont=m) == bufs
+    with pytest.raises(ValueError):
+        f31.from_bytes_host(spec, [spec.modulus.to_bytes(4, "big")] * 64)
