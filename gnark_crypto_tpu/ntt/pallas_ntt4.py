@@ -167,22 +167,25 @@ def _stage4_dit_body(spec, lp, hb, x_lo_ref, x_hi_ref, c_ref, cn_ref, o_ref):
             q2_col, fm)
 
 
-def _stage4(spec, lp, x, c_tab, c_off, half, tile, dit, consts, interpret):
+def _stage4(spec, lp, x, c_tab, c_off, half, tile, dit, consts, interpret,
+            in_perm=None):
     """One sub-NTT butterfly stage over 'blocks' of width `tile` lanes.
 
     Block index t = sub-NTT position; pair stride = half blocks; the
     twiddle-constant block for pair j = t % half lives at c_tab column
-    block (c_off + j)."""
+    block (c_off + j). ``in_perm``: logical->physical block map of the
+    input array (radix-4 stages leave their output block-permuted)."""
     n = x.shape[1]
     hb = half
+    perm = in_perm or (lambda l: l)
 
     def lo_map(t):
         r2 = t % (2 * hb)
-        return (0, t - jnp.where(r2 >= hb, hb, 0))
+        return (0, perm(t - jnp.where(r2 >= hb, hb, 0)))
 
     def hi_map(t):
         r2 = t % (2 * hb)
-        return (0, t + jnp.where(r2 >= hb, 0, hb))
+        return (0, perm(t + jnp.where(r2 >= hb, 0, hb)))
 
     def c_map(t):
         return (0, c_off + t % half)
@@ -239,15 +242,16 @@ def _mm_tile_lazy(spec: FieldSpec, l_pad: int, x, y, q_col):
     return _carry_vec(spec, t, 3)
 
 
-def _twist(spec, lp, x, twist_t, tile, consts, interpret):
+def _twist(spec, lp, x, twist_t, tile, consts, interpret, in_perm=None):
     n = x.shape[1]
+    perm = in_perm or (lambda l: l)
     kern = functools.partial(_twist_body, spec, lp)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((lp, n), jnp.int32),
         grid=(n // tile,),
         in_specs=[
-            pl.BlockSpec((lp, tile), lambda t: (0, t),
+            pl.BlockSpec((lp, tile), lambda t: (0, perm(t)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((lp, tile), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
@@ -291,15 +295,16 @@ def _canon_body(spec, lp, x_ref, cn_ref, o_ref):
     o_ref[:] = t
 
 
-def _canonicalize(spec, lp, x, tile, consts, interpret):
+def _canonicalize(spec, lp, x, tile, consts, interpret, in_perm=None):
     n = x.shape[1]
+    perm = in_perm or (lambda l: l)
     kern = functools.partial(_canon_body, spec, lp)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((lp, n), jnp.int32),
         grid=(n // tile,),
         in_specs=[
-            pl.BlockSpec((lp, tile), lambda t: (0, t),
+            pl.BlockSpec((lp, tile), lambda t: (0, perm(t)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((lp, LANES), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -308,6 +313,132 @@ def _canonicalize(spec, lp, x, tile, consts, interpret):
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x, consts)
+
+
+# ---------------------------------------------------------------------------
+# radix-4 fused stage pairs (half the HBM passes)
+# ---------------------------------------------------------------------------
+# Each sub-NTT stage above is one full read+write of the (lp, n) array and
+# runs at the HBM roofline (~0.6 ms/pass @ 2^20), so fusing two radix-2
+# stages into one radix-4 kernel halves the dominant cost. A kernel program
+# handles one group of 4 blocks {g, g+Q, g+2Q, g+3Q} (Q = S >> (s+2)) and
+# writes all 4 outputs, so every block is read and written exactly once per
+# fused pair. Per-group twiddles [w, w*i, w^2, w^3, w^3*i] (w = root^(j<<s),
+# i = root^(Q<<s), the order-4 element) come from a dedicated table.
+#
+# DIF composition of stages (s, s+1):
+#   outA = a + b + c + d
+#   outB = ((a+c) - (b+d)) * w^2
+#   outC = (a-c) * w   + (b-d) * (w*i)
+#   outD = (a-c) * w^3 - (b-d) * (w^3*i)
+# DIT (inverse order) composition of stages (s+1, s):
+#   t = B*w^2; u = (C + D*w^2)*w; v = (C - D*w^2)*(w*i)
+#   outA = A + t + u;  outB = A - t + v
+#   outC = A + t - u;  outD = A - t - v
+
+
+def _r4_dif_body(spec, lp, tile, a_ref, b_ref, c_ref, d_ref,
+                 cw, cwi, cw2, cw3, cw3i, cn_ref, o_ref):
+    q_col = cn_ref[:, 0:1]
+    q2_col = cn_ref[:, 1:2]
+    off_col = cn_ref[:, 2:3]
+    fm = spec._fold_mul
+    a, b = a_ref[:], b_ref[:]
+    c, d = c_ref[:], d_ref[:]
+
+    ac = _add_fold(spec, lp, a, c, q2_col, fm)
+    bd = _add_fold(spec, lp, b, d, q2_col, fm)
+    o_ref[:, 0:tile] = _add_fold(spec, lp, ac, bd, q2_col, fm)
+    o_ref[:, tile:2 * tile] = _mulconst_tile(
+        spec, lp, _carry_vec(spec, ac - bd + off_col, 1), cw2[:], q_col)
+    amc = _carry_vec(spec, a - c + off_col, 1)
+    bmd = _carry_vec(spec, b - d + off_col, 1)
+    mc1 = _mulconst_tile(spec, lp, amc, cw[:], q_col)
+    mc2 = _mulconst_tile(spec, lp, bmd, cwi[:], q_col)
+    o_ref[:, 2 * tile:3 * tile] = _add_fold(spec, lp, mc1, mc2, q2_col, fm)
+    md1 = _mulconst_tile(spec, lp, amc, cw3[:], q_col)
+    md2 = _mulconst_tile(spec, lp, bmd, cw3i[:], q_col)
+    o_ref[:, 3 * tile:4 * tile] = _fold_tile(
+        spec, lp, _carry_vec(spec, md1 - md2 + off_col, 1), q2_col, fm)
+
+
+def _r4_dit_body(spec, lp, tile, a_ref, b_ref, c_ref, d_ref,
+                 cw, cwi, cw2, cw3, cw3i, cn_ref, o_ref):
+    q_col = cn_ref[:, 0:1]
+    q2_col = cn_ref[:, 1:2]
+    off_col = cn_ref[:, 2:3]
+    fm = spec._fold_mul
+    A, B = a_ref[:], b_ref[:]
+    C, D = c_ref[:], d_ref[:]
+
+    t = _mulconst_tile(spec, lp, B, cw2[:], q_col)
+    td = _mulconst_tile(spec, lp, D, cw2[:], q_col)
+    c1 = _add_fold(spec, lp, C, td, q2_col, fm)
+    d1 = _fold_tile(spec, lp, _carry_vec(spec, C - td + off_col, 1),
+                    q2_col, fm)
+    u = _mulconst_tile(spec, lp, c1, cw[:], q_col)
+    v = _mulconst_tile(spec, lp, d1, cwi[:], q_col)
+    apt = _add_fold(spec, lp, A, t, q2_col, fm)
+    amt = _fold_tile(spec, lp, _carry_vec(spec, A - t + off_col, 1),
+                     q2_col, fm)
+    o_ref[:, 0:tile] = _add_fold(spec, lp, apt, u, q2_col, fm)
+    o_ref[:, tile:2 * tile] = _add_fold(spec, lp, amt, v, q2_col, fm)
+    o_ref[:, 2 * tile:3 * tile] = _fold_tile(
+        spec, lp, _carry_vec(spec, apt - u + off_col, 1), q2_col, fm)
+    o_ref[:, 3 * tile:4 * tile] = _fold_tile(
+        spec, lp, _carry_vec(spec, amt - v + off_col, 1), q2_col, fm)
+
+
+def _r4_perm(quarter: int):
+    """Physical block index of logical block l after a fused stage with
+    group quarter Q (in blocks): programs write their 4 outputs
+    contiguously, so phys = 4*t4 + role."""
+    def phys(l):
+        t4 = (l // (4 * quarter)) * quarter + (l % quarter)
+        return 4 * t4 + (l // quarter) % 4
+    return phys
+
+
+def _stage4_r4(spec, lp, x, c4_tab, c4_off, quarter, tile, dit, consts,
+               interpret, in_perm):
+    """One fused radix-4 stage pair over blocks of ``tile`` lanes.
+
+    ``quarter`` = Q in block units; ``in_perm`` maps logical block index ->
+    physical block index of the INPUT array (identity if None). Output is
+    block-permuted by `_r4_perm(quarter)` — one full read + one full write
+    of the array per two radix-2 stages; downstream passes undo the
+    permutation for free in their input index maps."""
+    n = x.shape[1]
+    nb = n // tile
+    perm = in_perm or (lambda l: l)
+
+    def in_map(role):
+        def m(t4):
+            g = (t4 // quarter) * (4 * quarter) + (t4 % quarter)
+            return (0, perm(g + role * quarter))
+        return m
+
+    def c_map(cidx):
+        def m(t4):
+            return (0, c4_off + (t4 % quarter) * 5 + cidx)
+        return m
+
+    body = _r4_dit_body if dit else _r4_dif_body
+    kern = functools.partial(body, spec, lp, tile)
+    bs = lambda m: pl.BlockSpec((lp, tile), m, memory_space=pltpu.VMEM)
+    cbs = lambda m: pl.BlockSpec((lp, LANES), m, memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((lp, n), jnp.int32),
+        grid=(nb // 4,),
+        in_specs=[bs(in_map(r)) for r in range(4)]
+        + [cbs(c_map(i)) for i in range(5)]
+        + [cbs(lambda t4: (0, 0))],
+        out_specs=pl.BlockSpec((lp, 4 * tile), lambda t4: (0, t4),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, x, x, x, c4_tab, c4_tab, c4_tab, c4_tab, c4_tab, consts)
+    return out, _r4_perm(quarter)
 
 
 # ---------------------------------------------------------------------------
@@ -351,6 +482,40 @@ def _c_blocks(spec: FieldSpec, root: int, kk: int, lp: int) -> jax.Array:
                 cols[:L, base + i] = int_to_limbs(acc, b, L)
                 acc = acc * (1 << b) % q
     return jnp.asarray(cols)
+
+
+def _c4_blocks(spec: FieldSpec, root: int, kk: int, lp: int):
+    """Radix-4 twiddle-constant blocks for fused stage pairs (s, s+1).
+
+    For pair s (s even, s+1 < kk), Q = 2^kk >> (s+2); per group position
+    jq < Q the 5 constants [w, w*i, w^2, w^3, w^3*i] (w = root^(jq<<s),
+    i = root^(Q<<s)) live at block offset offs[s] + jq*5 + cidx, each a
+    LANES-wide mulconst block. Returns (table, offs)."""
+    q = spec.modulus
+    b = spec.limb_bits
+    L = spec.n_limbs
+    S = 1 << kk
+    offs = {}
+    total = 0
+    for s in range(0, kk - 1, 2):
+        offs[s] = total
+        total += 5 * (S >> (s + 2))
+    cols = np.zeros((lp, max(total, 1) * LANES), np.int32)
+    shift2 = pow(2, 2 * b, q)
+    for s in range(0, kk - 1, 2):
+        Q = S >> (s + 2)
+        i_rt = pow(root, Q << s, q)
+        for jq in range(Q):
+            w = pow(root, jq << s, q)
+            w3 = pow(w, 3, q)
+            for cidx, v in enumerate(
+                    (w, w * i_rt % q, w * w % q, w3, w3 * i_rt % q)):
+                base = (offs[s] + jq * 5 + cidx) * LANES
+                acc = v * shift2 % q
+                for li in range(L):
+                    cols[:L, base + li] = int_to_limbs(acc, b, L)
+                    acc = acc * (1 << b) % q
+    return jnp.asarray(cols), offs
 
 
 def _twist_table(domain, w: int, k1: int, k2: int, lp: int,
@@ -407,64 +572,105 @@ def _tables4_build(domain, inverse: bool):
     w2 = pow(w, S1, q)   # order S2: lo sub-NTT root
     c1 = _c_blocks(spec, w1, k1, lp)
     c2 = _c_blocks(spec, w2, k2, lp)
+    c1_4 = _c4_blocks(spec, w1, k1, lp)
+    c2_4 = _c4_blocks(spec, w2, k2, lp)
     twist = _twist_table(domain, w, k1, k2, lp, fold_n_inv=inverse)
     # consts tile: col 0 = q limbs, col 1 = 2q limbs, col 2 = 6q limbs
     cn = np.zeros((lp, LANES), np.int32)
     cn[:L, 0] = spec.q_limbs
     cn[:L, 1] = int_to_limbs(2 * q, spec.limb_bits, L)
     cn[:L, 2] = int_to_limbs(6 * q, spec.limb_bits, L)
-    return k1, k2, c1, c2, twist, jnp.asarray(cn), lp
+    return k1, k2, c1, c2, c1_4, c2_4, twist, jnp.asarray(cn), lp
 
 
 # ---------------------------------------------------------------------------
 # drivers
 # ---------------------------------------------------------------------------
 
+def _radix4_enabled() -> bool:
+    """Fused radix-4 stage pairs (half the HBM passes). Opt-in via
+    GNARK_NTT_RADIX4=1 until measured on the bench chip; =0 forces off."""
+    import os
+
+    return os.environ.get("GNARK_NTT_RADIX4", "") == "1"
+
+
 def run_stages_four_step(domain, a, decimation: str, inverse: bool,
                          interpret: bool = False):
     """Drop-in replacement for fft._run_stages on the (n, L) layout.
 
     Forward DIF: step1 (DIF over hi) -> twist -> swap -> step3 (DIF over lo)
-    -> swap back -> canonicalize.  Inverse DIT is the exact mirror (the 1/n
-    scale is folded into the untwist table — callers must skip it)."""
+    -> canonicalize -> swap back.  Inverse DIT is the exact mirror (the 1/n
+    scale is folded into the untwist table — callers must skip it).
+
+    With radix-4 fusing on, sub-NTT stages run as fused pairs whose outputs
+    are block-permuted; the next consumer (stage / twist / canonicalize)
+    undoes the permutation in its input index map, and the DIT unswap
+    applies it as a static column gather — no extra HBM passes anywhere."""
     spec = domain.eng.spec
     n = domain.n
     L = spec.n_limbs
-    k1, k2, c1, c2, twist, cn, lp = _tables4(domain, inverse)
+    k1, k2, c1, c2, c1_4, c2_4, twist, cn, lp = _tables4(domain, inverse)
     S1, S2 = 1 << k1, 1 << k2
+    r4 = _radix4_enabled()
     x = jnp.zeros((lp, n), jnp.int32).at[:L, :].set(a.T)
 
     def swap(z):
         return z.reshape(lp, S1, S2).swapaxes(1, 2).reshape(lp, n)
 
-    def unswap(z):
+    def unswap(z, perm, tile):
+        if perm is not None:  # fold the block permutation into the gather
+            nb = n // tile
+            src = np.asarray([perm(l) for l in range(nb)])
+            idx = (src[:, None] * tile
+                   + np.arange(tile)[None, :]).reshape(-1)
+            z = z[:, jnp.asarray(idx)]
         return z.reshape(lp, S2, S1).swapaxes(1, 2).reshape(lp, n)
 
-    def step(z, kk, c_tab, tile, stages, dit):
+    def step(z, kk, c_tab, c4, tile, dit):
+        """All kk sub-NTT stages; returns (z, perm) with perm the pending
+        block permutation of the output (None when radix-2 only)."""
         S = 1 << kk
-        for s in stages:
-            half = S >> (s + 1)
-            off = S - (S >> s)
-            z = _stage4(spec, lp, z, c_tab, off, half, tile, dit, cn,
-                        interpret)
-        return z
+        c4_tab, offs4 = c4
+        perm = None
+        if r4:
+            pairs = list(range(0, kk - 1, 2))
+            leftover = [kk - 1] if kk % 2 else []
+            plan = ([("r2", s) for s in leftover] if dit else []) \
+                + [("r4", s) for s in (reversed(pairs) if dit else pairs)] \
+                + ([] if dit else [("r2", s) for s in leftover])
+        else:
+            plan = [("r2", s)
+                    for s in (range(kk - 1, -1, -1) if dit else range(kk))]
+        for kind, s in plan:
+            if kind == "r4":
+                Q = S >> (s + 2)
+                z, perm = _stage4_r4(spec, lp, z, c4_tab, offs4[s], Q,
+                                     tile, dit, cn, interpret, perm)
+            else:
+                half = S >> (s + 1)
+                off = S - (S >> s)
+                z = _stage4(spec, lp, z, c_tab, off, half, tile, dit, cn,
+                            interpret, perm)
+                perm = None
+        return z, perm
 
     if decimation == "DIF" and not inverse:
-        x = step(x, k1, c1, S2, range(k1), dit=False)
-        x = _twist(spec, lp, x, twist, S2, cn, interpret)
+        x, p1 = step(x, k1, c1, c1_4, S2, dit=False)
+        x = _twist(spec, lp, x, twist, S2, cn, interpret, p1)
         x = swap(x)
-        x = step(x, k2, c2, S1, range(k2), dit=False)
-        x = unswap(x)
+        x, p2 = step(x, k2, c2, c2_4, S1, dit=False)
+        x = _canonicalize(spec, lp, x, S1, cn, interpret, p2)
+        x = unswap(x, None, S1)
     elif decimation == "DIT" and inverse:
         x = swap(x)
-        x = step(x, k2, c2, S1, range(k2 - 1, -1, -1), dit=True)
-        x = unswap(x)
+        x, p2 = step(x, k2, c2, c2_4, S1, dit=True)
+        x = unswap(x, p2, S1)
         x = _twist(spec, lp, x, twist, S2, cn, interpret)
-        x = step(x, k1, c1, S2, range(k1 - 1, -1, -1), dit=True)
+        x, p1 = step(x, k1, c1, c1_4, S2, dit=True)
+        x = _canonicalize(spec, lp, x, S2, cn, interpret, p1)
     else:
         raise ValueError("four-step supports (DIF, forward) / (DIT, inverse)")
-    x = _canonicalize(spec, lp, x, max(S2, LANES) if not interpret else S2,
-                      cn, interpret)
     return x[:L, :].T
 
 

@@ -114,3 +114,42 @@ def test_pallas_f31_stages_match_xla(dom31, data31, decimation, inverse):
     got = run_stages_pallas_f31(dom31, data31, decimation, inverse,
                                 interpret=True)
     assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+# -- radix-4 fused stage pairs ----------------------------------------------
+
+def test_four_step_radix4_dif_forward(dom4, data4, monkeypatch):
+    """Fused radix-4 stage pairs (GNARK_NTT_RADIX4=1) == radix-2 path."""
+    from gnark_crypto_tpu.ntt.pallas_ntt4 import run_stages_four_step
+
+    ref = run_stages_four_step(dom4, data4, "DIF", False, interpret=True)
+    monkeypatch.setenv("GNARK_NTT_RADIX4", "1")
+    got = run_stages_four_step(dom4, data4, "DIF", False, interpret=True)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_four_step_radix4_dit_inverse(dom4, data4, monkeypatch):
+    from gnark_crypto_tpu.ntt.pallas_ntt4 import run_stages_four_step
+
+    ref = run_stages_four_step(dom4, data4, "DIT", True, interpret=True)
+    monkeypatch.setenv("GNARK_NTT_RADIX4", "1")
+    got = run_stages_four_step(dom4, data4, "DIT", True, interpret=True)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_four_step_radix4_odd_stages(monkeypatch):
+    """n = 2^15 -> k1 = 8, k2 = 7: exercises the odd-stage leftover
+    radix-2 pass reading through the radix-4 block permutation."""
+    from gnark_crypto_tpu.ntt import fft as fft_mod
+    from gnark_crypto_tpu.ntt.pallas_ntt4 import run_stages_four_step
+
+    n = 1 << 15
+    dom = Domain(fs.BN254_FR, n, with_coset=False)
+    eng = dom.eng
+    rng = random.Random(15)
+    data = eng.from_int([rng.randrange(fs.BN254_FR.modulus)
+                         for _ in range(n)])
+    ref = run_stages_four_step(dom, data, "DIF", False, interpret=True)
+    monkeypatch.setenv("GNARK_NTT_RADIX4", "1")
+    got = run_stages_four_step(dom, data, "DIF", False, interpret=True)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
