@@ -89,18 +89,74 @@ class ECDSA:
 
     def sign(self, msg: bytes, priv: PrivateKey,
              hasher=hashlib.sha256) -> Signature:
-        h = hash_to_int(hasher(msg).digest(), self.order)
+        """Sign with BIP-62 low-s normalization, like the reference's Sign
+        (which delegates to SignForRecover, ecdsa.go:336)."""
+        return self.sign_for_recover(msg, priv, hasher)[1]
+
+    def sign_for_recover(self, msg: bytes, priv: PrivateKey,
+                         hasher=hashlib.sha256):
+        """(v, Signature) with recovery id v = (x_P div n) << 1 | y_P parity
+        (ecdsa.go:248 SignForRecover). The deterministic nonce is re-derived
+        (counter-perturbed) until r != 0 and s <= (n-1)/2 — the reference's
+        rejection loop with fresh randomness."""
         n = self.order
+        h = hash_to_int(hasher(msg).digest(), n)
+        f = self.curve.fp
+        ctr = 0
         while True:
-            k = self._nonce(priv.d, h)
+            k = self._nonce(priv.d, h + ctr)
+            ctr += 1
             rp = self._base_mul(k)
-            r = self.curve.fp.to_int(rp.x)[0] % n
+            x = f.to_int(rp.x)[0]
+            y = f.to_int(rp.y)[0]
+            v = ((x // n) << 1) | (y & 1)
+            r = x % n
             if r == 0:
-                h += 1  # perturb (negligible probability path)
                 continue
             s = pow(k, -1, n) * (h + r * priv.d) % n
-            if s != 0:
-                return Signature(r, s)
+            if s == 0 or s > (n - 1) // 2:
+                continue
+            return v, Signature(r, s)
+
+    def recover_public_key(self, msg: bytes, v: int, sig: Signature,
+                           hasher=hashlib.sha256) -> PublicKey:
+        """Public-key recovery (marshal.go:58 RecoverFrom + ecdsa.go:111
+        recoverP): P = point with x = r + (v>>1)*n and y parity v&1;
+        Q = [-z/r]G + [s/r]P via the joint ladder."""
+        n = self.order
+        p = self.spec.fp.modulus
+        if not (0 < sig.r < n and 0 < sig.s < n):
+            raise ValueError("invalid signature scalars")
+        x = sig.r + ((v >> 1) & 1) * n
+        if x >= p:
+            raise ValueError("recovery x overflows the base field")
+        a = self.spec.a % p
+        y2 = (pow(x, 3, p) + a * x + self.spec.b) % p
+        if p % 4 == 3:
+            y = pow(y2, (p + 1) // 4, p)
+        else:
+            from gnark_crypto_tpu.curve.twistededwards import _tonelli_int
+            y = _tonelli_int(y2, p)
+        if y * y % p != y2:
+            raise ValueError("recovery point has no square root")
+        if (y & 1) != (v & 1):
+            y = p - y
+        z = hash_to_int(hasher(msg).digest(), n)
+        rinv = pow(sig.r, -1, n)
+        u1 = (-z * rinv) % n
+        u2 = sig.s * rinv % n
+        c = self.curve
+        f = c.fp
+        g = c.generator_affine()
+        gj = c.from_affine(Affine(f.broadcast_to(g.x, (1,)),
+                                  f.broadcast_to(g.y, (1,))))
+        pj = c.from_affine(Affine(f.from_int([x]), f.from_int([y])))
+        q = c.joint_scalar_mul(gj, pj,
+                               c.fr.from_int([u1], mont=False),
+                               c.fr.from_int([u2], mont=False))
+        if bool(np.asarray(c.is_inf_jac(q))[0]):
+            raise ValueError("recovered point at infinity")
+        return PublicKey(c.to_affine(q))
 
     def verify(self, msg: bytes, sig: Signature, pub: PublicKey,
                hasher=hashlib.sha256) -> bool:

@@ -153,3 +153,28 @@ def test_ted_companions_on_curve(ted):
     assert bool(np.asarray(c.on_curve_affine(g))[0]), ted
     res = c.to_affine(c.scalar_mul_int(c.from_affine(g), [c.spec.order]))
     assert c.f.to_int(res.x) == [0] and c.f.to_int(res.y) == [1], ted
+
+
+@pytest.mark.parametrize("name", ["secp256k1_g1", "stark_g1"])
+def test_ecdsa_public_key_recovery(name):
+    """SignForRecover + RecoverFrom roundtrip (ecdsa.go:248,
+    marshal.go:58): recovered key equals the signer's; signatures are
+    low-s (BIP-62); tampered inputs recover a different key or fail."""
+    from gnark_crypto_tpu.signature.ecdsa import ECDSA
+
+    e = ECDSA(name)
+    priv = e.generate_key(b"recover-seed-" + name.encode())
+    msg = b"key recovery message"
+    v, sig = e.sign_for_recover(msg, priv)
+    assert sig.s <= (e.order - 1) // 2
+    assert e.verify(msg, sig, priv.public_key)
+    rec = e.recover_public_key(msg, v, sig)
+    f = e.curve.fp
+    assert f.to_int(rec.q.x) == f.to_int(priv.public_key.q.x)
+    assert f.to_int(rec.q.y) == f.to_int(priv.public_key.q.y)
+    # wrong parity bit -> different (or invalid) key
+    try:
+        rec2 = e.recover_public_key(msg, v ^ 1, sig)
+        assert f.to_int(rec2.q.y) != f.to_int(priv.public_key.q.y)
+    except ValueError:
+        pass
