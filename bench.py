@@ -38,7 +38,7 @@ def _enable_cache():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def bench_ntt(n=1 << 20, iters=10):
+def _ntt_once(n, iters):
     import jax
     import jax.numpy as jnp
     from gnark_crypto_tpu.ntt import fft as fftm
@@ -59,6 +59,29 @@ def bench_ntt(n=1 << 20, iters=10):
     np.asarray(r[:1])  # D2H forces completion
     dt = (time.perf_counter() - t0) / iters
     return n / dt, dt
+
+
+def bench_ntt(n=1 << 20, iters=10):
+    """Self-tuning: measures the radix-2 four-step and (if it compiles and
+    runs) the radix-4 fused variant, reports the faster one."""
+    import jax
+
+    results = {}
+    rate, dt = _ntt_once(n, iters)
+    results["r2"] = (rate, dt)
+    try:
+        os.environ["GNARK_NTT_RADIX4"] = "1"
+        jax.clear_caches()
+        rate4, dt4 = _ntt_once(n, iters)
+        results["r4"] = (rate4, dt4)
+    except Exception:
+        pass
+    finally:
+        os.environ.pop("GNARK_NTT_RADIX4", None)
+        jax.clear_caches()
+    best = max(results.values())
+    best_name = [k for k, v in results.items() if v == best][0]
+    return best + (best_name, results)
 
 
 def bench_f31_ntt(n=1 << 20, iters=20):
@@ -179,8 +202,11 @@ def bench_poseidon2(n=1 << 16, iters=10):
 def main():
     _enable_cache()
     extra = {}
-    ntt_rate, ntt_dt = bench_ntt()
+    ntt_rate, ntt_dt, ntt_variant, ntt_all = bench_ntt()
     extra["bn254_ntt_2^20_ms"] = round(ntt_dt * 1e3, 2)
+    extra["bn254_ntt_variant"] = ntt_variant
+    for name, (_, vdt) in ntt_all.items():
+        extra[f"bn254_ntt_{name}_ms"] = round(vdt * 1e3, 2)
     for key, fn in [("koalabear_ntt_2^20", bench_f31_ntt),
                     ("bn254_g1_msm_2^16", bench_msm),
                     ("bn254_pairing_x64", bench_pairing),
