@@ -84,8 +84,7 @@ def bench_ntt(n=1 << 20, iters=10):
     return best + (best_name, results)
 
 
-def bench_f31_ntt(n=1 << 20, iters=20):
-    """koalabear NTT — the small-field tier where 32-bit lanes are native."""
+def _f31_ntt_once(n, iters):
     import jax
     import jax.numpy as jnp
     from gnark_crypto_tpu.ntt import fft as fftm
@@ -105,6 +104,25 @@ def bench_f31_ntt(n=1 << 20, iters=20):
     np.asarray(r[:1])
     dt = (time.perf_counter() - t0) / iters
     return n / dt, dt
+
+
+def bench_f31_ntt(n=1 << 20, iters=20):
+    """koalabear NTT — the small-field tier where 32-bit lanes are native.
+    Self-tunes between the radix-2 and radix-4 big-stage variants."""
+    import jax
+
+    results = {}
+    results["r2"] = _f31_ntt_once(n, iters)
+    try:
+        os.environ["GNARK_NTT_RADIX4"] = "1"
+        jax.clear_caches()
+        results["r4"] = _f31_ntt_once(n, iters)
+    except Exception:
+        pass
+    finally:
+        os.environ.pop("GNARK_NTT_RADIX4", None)
+        jax.clear_caches()
+    return max(results.values())
 
 
 def bench_msm(n=1 << 16, iters=4):

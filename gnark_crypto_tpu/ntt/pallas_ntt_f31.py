@@ -116,20 +116,21 @@ def _stage_kernel(spec, hb, dif, x_lo_ref, x_hi_ref, tw_ref, o_ref):
 
 
 def _big_stage(spec: FieldSpec, x, tw_s, half: int, dif: bool,
-               interpret: bool):
+               interpret: bool, tile: int | None = None, in_perm=None):
     """Stage with lane-stride hl = half/8 >= 128 on the (8, W) array."""
     W = x.shape[1]
     hl = half // ROWS
-    tile = min(hl, TILE_W)
+    tile = tile or min(hl, TILE_W)
     hb = hl // tile
+    perm = in_perm or (lambda l: l)
 
     def lo_map(t):
         r2 = t % (2 * hb)
-        return (0, t - jnp.where(r2 >= hb, hb, 0))
+        return (0, perm(t - jnp.where(r2 >= hb, hb, 0)))
 
     def hi_map(t):
         r2 = t % (2 * hb)
-        return (0, t + jnp.where(r2 >= hb, 0, hb))
+        return (0, perm(t + jnp.where(r2 >= hb, 0, hb)))
 
     kern = functools.partial(_stage_kernel, spec, hb, dif)
     return pl.pallas_call(
@@ -146,6 +147,81 @@ def _big_stage(spec: FieldSpec, x, tw_s, half: int, dif: bool,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x, x, tw_s)
+
+
+# -- radix-4 fused big-stage pairs (half the big-stage HBM passes) -----------
+# Same scheme as pallas_ntt4: one program owns a group of 4 blocks
+# {g, g+Q, g+2Q, g+3Q} (Q = stage-(s+1) half in block units), reads each
+# input block once and writes its 4 outputs contiguously; the resulting
+# block permutation is undone in the next consumer's input index map. No
+# extra twiddle tables: the w^3-style product is two chained elementwise
+# muls of the existing stage-s and stage-(s+1) tables.
+
+def _r4_kernel_f31(spec, tile, dif, a_ref, b_ref, c_ref, d_ref,
+                   w_ref, wq_ref, w2_ref, o_ref):
+    A, B, C, D = a_ref[:], b_ref[:], c_ref[:], d_ref[:]
+    if dif:
+        ac = _madd(spec, A, C)
+        bd = _madd(spec, B, D)
+        o_ref[:, 0:tile] = _madd(spec, ac, bd)
+        o_ref[:, tile:2 * tile] = _mmul(spec, _msub(spec, ac, bd),
+                                        w2_ref[:])
+        t1 = _mmul(spec, _msub(spec, A, C), w_ref[:])
+        t2 = _mmul(spec, _msub(spec, B, D), wq_ref[:])
+        o_ref[:, 2 * tile:3 * tile] = _madd(spec, t1, t2)
+        o_ref[:, 3 * tile:4 * tile] = _mmul(spec, _msub(spec, t1, t2),
+                                            w2_ref[:])
+    else:
+        t = _mmul(spec, B, w2_ref[:])
+        td = _mmul(spec, D, w2_ref[:])
+        a1 = _madd(spec, A, t)
+        b1 = _msub(spec, A, t)
+        c1 = _madd(spec, C, td)
+        d1 = _msub(spec, C, td)
+        u = _mmul(spec, c1, w_ref[:])
+        v = _mmul(spec, d1, wq_ref[:])
+        o_ref[:, 0:tile] = _madd(spec, a1, u)
+        o_ref[:, tile:2 * tile] = _madd(spec, b1, v)
+        o_ref[:, 2 * tile:3 * tile] = _msub(spec, a1, u)
+        o_ref[:, 3 * tile:4 * tile] = _msub(spec, b1, v)
+
+
+def _r4_perm(quarter: int):
+    def phys(l):
+        t4 = (l // (4 * quarter)) * quarter + (l % quarter)
+        return 4 * t4 + (l // quarter) % 4
+    return phys
+
+
+def _big_stage_r4(spec: FieldSpec, x, tw_s, tw_s1, quarter: int, tile: int,
+                  dif: bool, interpret: bool, in_perm):
+    """Fused stages (s, s+1); ``quarter`` = stage-(s+1) half in blocks of
+    ``tile`` lanes. Returns (out, perm)."""
+    W = x.shape[1]
+    perm = in_perm or (lambda l: l)
+
+    def in_map(role):
+        def m(t4):
+            g = (t4 // quarter) * (4 * quarter) + (t4 % quarter)
+            return (0, perm(g + role * quarter))
+        return m
+
+    bs = lambda m: pl.BlockSpec((ROWS, tile), m, memory_space=pltpu.VMEM)
+    kern = functools.partial(_r4_kernel_f31, spec, tile, dif)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((ROWS, W), U32),
+        grid=(W // tile // 4,),
+        in_specs=[bs(in_map(r)) for r in range(4)] + [
+            bs(lambda t4: (0, t4 % quarter)),            # w  (stage s)
+            bs(lambda t4: (0, t4 % quarter + quarter)),  # w*i (stage s)
+            bs(lambda t4: (0, t4 % quarter)),            # w^2 (stage s+1)
+        ],
+        out_specs=pl.BlockSpec((ROWS, 4 * tile), lambda t4: (0, t4),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, x, x, x, tw_s, tw_s, tw_s1)
+    return out, _r4_perm(quarter)
 
 
 # -- fused tail: all stages with half < 8*tile, one HBM pass -----------------
@@ -181,9 +257,10 @@ def _tail_kernel(spec, halves, dif, x_ref, tw_ref, o_ref):
 
 
 def _tail_pass(spec: FieldSpec, x, tw_tail, halves, dif: bool,
-               interpret: bool):
+               interpret: bool, tile: int | None = None, in_perm=None):
     W = x.shape[1]
-    tile = min(W, TILE_W)
+    tile = tile or min(W, TILE_W)
+    perm = in_perm or (lambda l: l)
     kern = functools.partial(_tail_kernel, spec, tuple(halves), dif)
     tw_w = tw_tail.shape[1]
     return pl.pallas_call(
@@ -191,7 +268,7 @@ def _tail_pass(spec: FieldSpec, x, tw_tail, halves, dif: bool,
         out_shape=jax.ShapeDtypeStruct((ROWS, W), U32),
         grid=(W // tile,),
         in_specs=[
-            pl.BlockSpec((ROWS, tile), lambda t: (0, t),
+            pl.BlockSpec((ROWS, tile), lambda t: (0, perm(t)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ROWS, tw_w), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -236,27 +313,74 @@ def _tables(domain, inverse: bool, tail_tile: int):
 def run_stages_pallas_f31(domain, a, decimation: str, inverse: bool,
                           interpret: bool = False):
     """Drop-in replacement for fft._run_stages on flat (n,) uint32 arrays."""
+    from gnark_crypto_tpu.ntt.pallas_ntt4 import _radix4_enabled
+
     spec = domain.eng.spec
     n, k = domain.n, domain.k
     W = n // ROWS
-    tail_tile = min(W, TILE_W)
-    big, tail = _tables(domain, inverse, tail_tile)
-    x = a.reshape(W, ROWS).T  # column-major: element i at [i%8, i//8]
-
     dif = decimation == "DIF"
     big_stages = [s for s in range(k) if (n >> (s + 1)) >= ROWS * LANES]
     tail_halves = tuple(n >> (s + 1) for s in range(k)
                         if (n >> (s + 1)) < ROWS * LANES)
+    r4 = _radix4_enabled() and len(big_stages) >= 2
+    # uniform block width so the radix-4 block permutation composes across
+    # passes; the smallest big stage always has lane stride exactly LANES
+    tile = LANES if r4 else min(W, TILE_W)
+    big, tail = _tables(domain, inverse, min(W, tile if r4 else TILE_W))
+    x = a.reshape(W, ROWS).T  # column-major: element i at [i%8, i//8]
+
+    if not r4:
+        if dif:
+            for s in big_stages:
+                x = _big_stage(spec, x, big[s], n >> (s + 1), True,
+                               interpret)
+            if tail_halves:
+                x = _tail_pass(spec, x, tail, tail_halves, True, interpret)
+        else:
+            if tail_halves:
+                x = _tail_pass(spec, x, tail, tail_halves, False, interpret)
+            for s in reversed(big_stages):
+                x = _big_stage(spec, x, big[s], n >> (s + 1), False,
+                               interpret)
+        return x.T.reshape(n)
+
+    m = len(big_stages)
+    pairs = [(big_stages[i], big_stages[i + 1])
+             for i in range(0, m - 1, 2)]
+    leftover = big_stages[m - 1] if m % 2 else None
+    perm = None
+
+    def fused(z, s, perm):
+        hl1 = (n >> (s + 2)) // ROWS
+        return _big_stage_r4(spec, z, big[s], big[s + 1], hl1 // tile,
+                             tile, dif, interpret, perm)
+
     if dif:
-        for s in big_stages:
-            x = _big_stage(spec, x, big[s], n >> (s + 1), True, interpret)
+        for s, _ in pairs:
+            x, perm = fused(x, s, perm)
+        if leftover is not None:
+            x = _big_stage(spec, x, big[leftover], n >> (leftover + 1),
+                           True, interpret, tile, perm)
+            perm = None
         if tail_halves:
-            x = _tail_pass(spec, x, tail, tail_halves, True, interpret)
+            x = _tail_pass(spec, x, tail, tail_halves, True, interpret,
+                           tile, perm)
+            perm = None
     else:
         if tail_halves:
-            x = _tail_pass(spec, x, tail, tail_halves, False, interpret)
-        for s in reversed(big_stages):
-            x = _big_stage(spec, x, big[s], n >> (s + 1), False, interpret)
+            x = _tail_pass(spec, x, tail, tail_halves, False, interpret,
+                           tile)
+        if leftover is not None:
+            x = _big_stage(spec, x, big[leftover], n >> (leftover + 1),
+                           False, interpret, tile)
+        for s, _ in reversed(pairs):
+            x, perm = fused(x, s, perm)
+    if perm is not None:
+        # fold the pending block permutation into the final transpose copy
+        nb = W // tile
+        src = np.asarray([perm(l) for l in range(nb)])
+        idx = (src[:, None] * tile + np.arange(tile)[None, :]).reshape(-1)
+        x = x[:, jnp.asarray(idx)]
     return x.T.reshape(n)
 
 

@@ -153,3 +153,23 @@ def test_four_step_radix4_odd_stages(monkeypatch):
     monkeypatch.setenv("GNARK_NTT_RADIX4", "1")
     got = run_stages_four_step(dom, data, "DIF", False, interpret=True)
     assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("n,decim,inv", [
+    (4096, "DIF", False),    # 2 big stages: one fused pair, no leftover
+    (8192, "DIF", False),    # 3 big stages: pair + leftover radix-2
+    (4096, "DIT", True),     # inverse direction, pending-perm final gather
+    (8192, "DIT", True),
+])
+def test_f31_radix4_matches_radix2(n, decim, inv, monkeypatch):
+    from gnark_crypto_tpu.ntt.pallas_ntt_f31 import run_stages_pallas_f31
+
+    dom = Domain(fs.KOALABEAR, n)
+    eng = for_spec(fs.KOALABEAR)
+    rng = random.Random(n)
+    data = eng.from_int([rng.randrange(fs.KOALABEAR.modulus)
+                         for _ in range(n)])
+    ref = run_stages_pallas_f31(dom, data, decim, inv, interpret=True)
+    monkeypatch.setenv("GNARK_NTT_RADIX4", "1")
+    got = run_stages_pallas_f31(dom, data, decim, inv, interpret=True)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
