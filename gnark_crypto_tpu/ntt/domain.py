@@ -99,3 +99,43 @@ class Domain:
         """Twiddles for one stage: w^(j*2^stage), j in [0, n/2^(stage+1))."""
         t0 = self.twiddles0_inv if inverse else self.twiddles0
         return t0[:: 1 << stage][: self.n >> (stage + 1)]
+
+    # -- serialization (byte parity with fft/domain.go:348 WriteTo) ---------
+    def to_bytes(self, with_precompute: bool = True) -> bytes:
+        """uint64-BE cardinality || 5 canonical fr elements (CardinalityInv,
+        Generator, GeneratorInv, FrMultiplicativeGen, its inverse) || one
+        precompute flag byte — the reference's exact wire layout."""
+        nb = self.spec.n_bytes
+        out = self.n.to_bytes(8, "big")
+        for v in (self.cardinality_inv_int, self.generator_int,
+                  self.generator_inv_int, self.shift_int,
+                  self.shift_inv_int):
+            out += v.to_bytes(nb, "big")
+        out += bytes([1 if with_precompute else 0])
+        return out
+
+
+def domain_from_bytes(spec_or_eng, buf: bytes) -> Domain:
+    """Parse a gnark fft.Domain blob (domain.go:381 ReadFrom): rebuild the
+    domain from (cardinality, shift) and check the stored generator chain
+    matches the field's 2-adic tower (corruption detection)."""
+    eng = (spec_or_eng if isinstance(spec_or_eng, FieldEngine)
+           else for_spec(spec_or_eng))
+    spec = eng.spec
+    nb = spec.n_bytes
+    need = 8 + 5 * nb + 1
+    if len(buf) < need:
+        raise ValueError("domain blob too short")
+    n = int.from_bytes(buf[:8], "big")
+    vals = [int.from_bytes(buf[8 + i * nb : 8 + (i + 1) * nb], "big")
+            for i in range(5)]
+    card_inv, gen, gen_inv, shift, shift_inv = vals
+    q = spec.modulus
+    if any(v >= q for v in vals):
+        raise ValueError("non-canonical domain element")
+    dom = Domain(eng, n, shift=shift)
+    if (dom.generator_int != gen or dom.generator_inv_int != gen_inv
+            or dom.cardinality_inv_int != card_inv
+            or dom.shift_inv_int != shift_inv):
+        raise ValueError("domain blob inconsistent with field constants")
+    return dom

@@ -105,3 +105,32 @@ def test_bit_reverse_matches_reference():
     eng = for_spec(fs.KOALABEAR)
     got = eng.to_int(fftm.bit_reverse(eng.from_int(list(range(8)))))
     assert got == [0, 4, 2, 6, 1, 5, 3, 7]
+
+
+def test_domain_serialization_gnark_wire_format():
+    """Domain.to_bytes/domain_from_bytes match the reference's WriteTo
+    layout (fft/domain.go:348): uint64-BE cardinality, 5 canonical fr
+    elements, precompute flag."""
+    import pytest
+
+    from gnark_crypto_tpu.ntt.domain import Domain, domain_from_bytes
+    from gnark_crypto_tpu.specs import field as fs
+
+    spec = fs.BN254_FR
+    dom = Domain(spec, 64)
+    buf = dom.to_bytes()
+    nb = spec.n_bytes
+    assert len(buf) == 8 + 5 * nb + 1
+    # layout spot checks
+    assert int.from_bytes(buf[:8], "big") == 64
+    assert int.from_bytes(buf[8 + nb : 8 + 2 * nb], "big") == \
+        dom.generator_int
+    assert buf[-1] == 1
+    back = domain_from_bytes(spec, buf)
+    assert back.generator_int == dom.generator_int
+    assert back.shift_int == dom.shift_int
+    # corruption detection: flip a byte of the generator
+    bad = bytearray(buf)
+    bad[8 + nb] ^= 1
+    with pytest.raises(ValueError):
+        domain_from_bytes(spec, bytes(bad))
