@@ -126,9 +126,12 @@ class RSis:
         eng = self.eng
         # The reference writes raw limbs straight into the Montgomery slot
         # (InnerHash: k[j][0] = l, sis.go:225), i.e. the polynomial
-        # coefficient VALUE is l * R^-1 — mirrored by the sage generator
-        # (sis.sage: GFR(e) * RR^-1). So limbs are used as Montgomery form
-        # directly, with no to_mont conversion.
+        # coefficient VALUE is l * R_ref^-1 with R_ref = 2^(64*words), the
+        # GO field's Montgomery radix — mirrored by the sage generator
+        # (sis.sage: GFR(e) * RR^-1). Our limb engines use a different
+        # radix R_ours = 2^(limb_bits*n_limbs), so placing raw limbs in the
+        # mont slot yields l * R_ours^-1; one multiply by the constant
+        # R_ours * R_ref^-1 restores cross-library bit-exactness.
         if eng.elem_dims:
             limbs = self._decompose(v)
             memb = jnp.zeros((*limbs.shape, self.spec.n_limbs), jnp.int32)
@@ -137,6 +140,14 @@ class RSis:
                 memb = memb.at[..., i].set(
                     (limbs >> (i * lb)) & ((1 << lb) - 1))
             m = memb
+            q = self.spec.modulus
+            words = -(-q.bit_length() // 64)
+            r_ref = pow(2, 64 * words, q)
+            r_ours = (1 << (lb * self.spec.n_limbs)) % q
+            corr = r_ours * pow(r_ref, -1, q) % q
+            if corr != 1:
+                m = eng.mul(m, eng.broadcast_to(eng.from_int(corr),
+                                                eng.eshape(m)))
         else:
             m = self._decompose(v)
         kf = jax.vmap(
