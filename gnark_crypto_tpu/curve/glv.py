@@ -19,22 +19,27 @@ from gnark_crypto_tpu.curve.jacobian import Affine, Curve, Jac, _sel
 from gnark_crypto_tpu.specs.curve import CurveSpec
 
 
-def decompose_scalar(spec: CurveSpec, k: int):
-    """k -> (k1, k2) with k = k1 + k2*lambda (mod r), both ~ sqrt(r).
+def split_scalar(k: int, lam: int, basis, r: int):
+    """k -> (k1, k2) with k = k1 + k2*lam (mod r), both ~ sqrt(r).
 
-    Babai rounding against the Gauss-reduced lattice basis
-    (ecc/utils.go:243 SplitScalar semantics; signs carried in the values).
-    """
-    r = spec.fr.modulus
-    (a1, b1), (a2, b2) = spec.glv_basis
+    Babai rounding against a Gauss-reduced lattice basis (ecc/utils.go:243
+    SplitScalar semantics; signs carried in the values). Shared by the
+    curve GLV ladder, the GT Frobenius-GLV exponentiation, and the
+    bandersnatch Edwards endomorphism."""
+    (a1, b1), (a2, b2) = basis
     det = a1 * b2 - a2 * b1  # = +-r
     # solve (k, 0) = c1*(a1,b1) + c2*(a2,b2) over Q, then round
     c1 = _round_div(b2 * k, det)
     c2 = _round_div(-b1 * k, det)
     k1 = k - c1 * a1 - c2 * a2
     k2 = -(c1 * b1 + c2 * b2)
-    assert (k1 + k2 * spec.glv_lambda - k) % r == 0
+    assert (k1 + k2 * lam - k) % r == 0
     return k1, k2
+
+
+def decompose_scalar(spec: CurveSpec, k: int):
+    """Curve-spec flavor of :func:`split_scalar`."""
+    return split_scalar(k, spec.glv_lambda, spec.glv_basis, spec.fr.modulus)
 
 
 def _round_div(num: int, den: int) -> int:

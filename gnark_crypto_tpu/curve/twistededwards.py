@@ -274,22 +274,16 @@ class TedCurve:
         joint double-and-add — half the doublings of scalar_mul_int
         (bandersnatch/endomorpism.go:29 scalarMulGLV; our ladder is the
         batched complete-add variant instead of the 4-bit window table)."""
-        from gnark_crypto_tpu.curve.glv import _round_div
+        from gnark_crypto_tpu.curve.glv import split_scalar
         from gnark_crypto_tpu.specs.curve import _lattice_2d
 
         assert self.spec.glv_lambda is not None, "no GLV endomorphism"
         r = self.spec.order
         lam = self.spec.glv_lambda
-        (a1, b1), (a2, b2) = _lattice_2d(r, lam)
-        det = a1 * b2 - a2 * b1
+        basis = _lattice_2d(r, lam)
         k1s, k2s = [], []
         for k in ks:
-            k %= r
-            c1 = _round_div(b2 * k, det)
-            c2 = _round_div(-b1 * k, det)
-            k1 = k - c1 * a1 - c2 * a2
-            k2 = -(c1 * b1 + c2 * b2)
-            assert (k1 + k2 * lam - k) % r == 0
+            k1, k2 = split_scalar(k % r, lam, basis, r)
             k1s.append(k1)
             k2s.append(k2)
 

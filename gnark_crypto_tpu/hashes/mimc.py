@@ -113,7 +113,11 @@ class MiMC:
 
     def set_state(self, new_state: bytes):
         """Load an externally saved chaining value (mimc.go:279 SetState):
-        must be canonical fr bytes; discards buffered blocks."""
+        must be canonical fr bytes; rejects a hasher with buffered blocks
+        (the reference clears d.data, but silently dropping written data
+        diverges from every caller's intent — flush with sum() first)."""
+        if self._data:
+            raise ValueError("mimc has buffered data; call sum() first")
         if len(new_state) != self.spec.n_bytes:
             raise ValueError(
                 f"mimc state must be {self.spec.n_bytes} bytes")

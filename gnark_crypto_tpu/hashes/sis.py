@@ -53,6 +53,20 @@ class RSis:
         shift = pow(spec.two_adic_root,
                     1 << (spec.two_adicity - (log_two_degree + 1)), q)
         self.domain = Domain(spec, self.degree, shift=shift)
+        # The reference writes decomposed limbs straight into the Montgomery
+        # slot (InnerHash: k[j][0] = l, sis.go:225), so a coefficient's
+        # VALUE is l * R_ref^-1 with R_ref = 2^(64*words) — the GO field's
+        # radix. Our limb engines use R_ours = 2^(limb_bits*n_limbs); the
+        # hash is bilinear, so the fixed mismatch factor R_ours/R_ref is
+        # folded into the key's evaluation form once here (zero per-hash
+        # cost) instead of multiplying every decomposed input.
+        if self.eng.elem_dims:
+            words = -(-q.bit_length() // 64)
+            r_ref = pow(2, 64 * words, q)
+            r_ours = (1 << (spec.limb_bits * spec.n_limbs)) % q
+            self._radix_corr = r_ours * pow(r_ref, -1, q) % q
+        else:
+            self._radix_corr = 1  # f31: R_ours = R_ref = 2^32
         # key polynomials + their coset-evaluation forms, one batched FFT
         self.set_key([[_derive_element(seed, i, j, q)
                        for j in range(self.degree)]
@@ -63,6 +77,9 @@ class RSis:
         precompute their coset-evaluation form (reference Ag)."""
         eng = self.eng
         flat = [int(v) for row in a_rows for v in row]
+        if self._radix_corr != 1:
+            q = self.spec.modulus
+            flat = [v * self._radix_corr % q for v in flat]
         a_dev = eng.reshape(eng.from_int(flat), (self.n_polys, self.degree))
         self.ag = jax.vmap(
             lambda p: fftm.fft(self.domain, p, fftm.DIF, coset=True))(a_dev)
@@ -124,14 +141,10 @@ class RSis:
         res = InvFFT_coset( sum_i FFT_coset(m_i) * Ag_i )  (sis.go:142-196).
         """
         eng = self.eng
-        # The reference writes raw limbs straight into the Montgomery slot
-        # (InnerHash: k[j][0] = l, sis.go:225), i.e. the polynomial
-        # coefficient VALUE is l * R_ref^-1 with R_ref = 2^(64*words), the
-        # GO field's Montgomery radix — mirrored by the sage generator
-        # (sis.sage: GFR(e) * RR^-1). Our limb engines use a different
-        # radix R_ours = 2^(limb_bits*n_limbs), so placing raw limbs in the
-        # mont slot yields l * R_ours^-1; one multiply by the constant
-        # R_ours * R_ref^-1 restores cross-library bit-exactness.
+        # Raw limbs go straight into the Montgomery slot, exactly like the
+        # reference (InnerHash: k[j][0] = l, sis.go:225). The radix
+        # mismatch between our limb engines and the Go fields is already
+        # folded into the key (see __init__ _radix_corr).
         if eng.elem_dims:
             limbs = self._decompose(v)
             memb = jnp.zeros((*limbs.shape, self.spec.n_limbs), jnp.int32)
@@ -140,14 +153,6 @@ class RSis:
                 memb = memb.at[..., i].set(
                     (limbs >> (i * lb)) & ((1 << lb) - 1))
             m = memb
-            q = self.spec.modulus
-            words = -(-q.bit_length() // 64)
-            r_ref = pow(2, 64 * words, q)
-            r_ours = (1 << (lb * self.spec.n_limbs)) % q
-            corr = r_ours * pow(r_ref, -1, q) % q
-            if corr != 1:
-                m = eng.mul(m, eng.broadcast_to(eng.from_int(corr),
-                                                eng.eshape(m)))
         else:
             m = self._decompose(v)
         kf = jax.vmap(

@@ -572,15 +572,30 @@ def _tables4_build(domain, inverse: bool):
     w2 = pow(w, S1, q)   # order S2: lo sub-NTT root
     c1 = _c_blocks(spec, w1, k1, lp)
     c2 = _c_blocks(spec, w2, k2, lp)
-    c1_4 = _c4_blocks(spec, w1, k1, lp)
-    c2_4 = _c4_blocks(spec, w2, k2, lp)
     twist = _twist_table(domain, w, k1, k2, lp, fold_n_inv=inverse)
     # consts tile: col 0 = q limbs, col 1 = 2q limbs, col 2 = 6q limbs
     cn = np.zeros((lp, LANES), np.int32)
     cn[:L, 0] = spec.q_limbs
     cn[:L, 1] = int_to_limbs(2 * q, spec.limb_bits, L)
     cn[:L, 2] = int_to_limbs(6 * q, spec.limb_bits, L)
-    return k1, k2, c1, c2, c1_4, c2_4, twist, jnp.asarray(cn), lp
+    return k1, k2, c1, c2, twist, jnp.asarray(cn), lp
+
+
+@functools.lru_cache(maxsize=None)
+def _tables4_r4(domain, inverse: bool):
+    """Radix-4 twiddle tables, built (and resident in HBM) only when the
+    fused path is actually enabled — they are several MB per domain."""
+    spec = domain.eng.spec
+    q = spec.modulus
+    n, k = domain.n, domain.k
+    k2 = k // 2
+    k1 = k - k2
+    lp = _round_up(max(spec.n_limbs, 8), 8)
+    w = domain.generator_inv_int if inverse else domain.generator_int
+    with jax.ensure_compile_time_eval():
+        c1_4 = _c4_blocks(spec, pow(w, 1 << k2, q), k1, lp)
+        c2_4 = _c4_blocks(spec, pow(w, 1 << k1, q), k2, lp)
+    return c1_4, c2_4
 
 
 # ---------------------------------------------------------------------------
@@ -610,9 +625,11 @@ def run_stages_four_step(domain, a, decimation: str, inverse: bool,
     spec = domain.eng.spec
     n = domain.n
     L = spec.n_limbs
-    k1, k2, c1, c2, c1_4, c2_4, twist, cn, lp = _tables4(domain, inverse)
+    k1, k2, c1, c2, twist, cn, lp = _tables4(domain, inverse)
     S1, S2 = 1 << k1, 1 << k2
     r4 = _radix4_enabled()
+    c1_4, c2_4 = _tables4_r4(domain, inverse) if r4 else ((None, None),
+                                                          (None, None))
     x = jnp.zeros((lp, n), jnp.int32).at[:L, :].set(a.T)
 
     def swap(z):

@@ -28,6 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gnark_crypto_tpu.ntt.pallas_ntt4 import _r4_perm
 from gnark_crypto_tpu.specs.field import FieldSpec
 
 LANES = 128
@@ -184,13 +185,6 @@ def _r4_kernel_f31(spec, tile, dif, a_ref, b_ref, c_ref, d_ref,
         o_ref[:, tile:2 * tile] = _madd(spec, b1, v)
         o_ref[:, 2 * tile:3 * tile] = _msub(spec, a1, u)
         o_ref[:, 3 * tile:4 * tile] = _msub(spec, b1, v)
-
-
-def _r4_perm(quarter: int):
-    def phys(l):
-        t4 = (l // (4 * quarter)) * quarter + (l % quarter)
-        return 4 * t4 + (l // quarter) % 4
-    return phys
 
 
 def _big_stage_r4(spec: FieldSpec, x, tw_s, tw_s1, quarter: int, tile: int,

@@ -127,7 +127,10 @@ class ECDSA:
         p = self.spec.fp.modulus
         if not (0 < sig.r < n and 0 < sig.s < n):
             raise ValueError("invalid signature scalars")
-        x = sig.r + ((v >> 1) & 1) * n
+        # full x-quotient, not one bit: pairing G1s have p >> n, so the
+        # nonce point's x // n can be large (the reference only enables
+        # recovery where the quotient fits one bit; we carry it whole)
+        x = sig.r + (v >> 1) * n
         if x >= p:
             raise ValueError("recovery x overflows the base field")
         a = self.spec.a % p

@@ -64,23 +64,9 @@ def _naf(e: int) -> list[int]:
 
 
 def _decompose(k: int, lam: int, basis, r: int):
-    """Babai rounding: k = k1 + k2*lam (mod r), |ki| ~ sqrt(r)
-    (same math as curve/glv.py decompose_scalar)."""
-    (a1, b1), (a2, b2) = basis
-    det = a1 * b2 - a2 * b1
-
-    def rdiv(num, den):
-        if den < 0:
-            num, den = -num, -den
-        q, rem = divmod(num, den)
-        return q + (1 if 2 * rem >= den else 0)
-
-    c1 = rdiv(b2 * k, det)
-    c2 = rdiv(-b1 * k, det)
-    k1 = k - c1 * a1 - c2 * a2
-    k2 = -(c1 * b1 + c2 * b2)
-    assert (k1 + k2 * lam - k) % r == 0
-    return k1, k2
+    """Babai rounding (shared impl: curve/glv.py split_scalar)."""
+    from gnark_crypto_tpu.curve.glv import split_scalar
+    return split_scalar(k, lam, basis, r)
 
 
 @functools.lru_cache(maxsize=None)
@@ -312,9 +298,12 @@ class Tower12:
         table = {1: t1, 2: t2, 3: t12}
         nbits = max(k1.bit_length(), k2.bit_length())
         from gnark_crypto_tpu.utils import hostloop
+        if hostloop.is_tracing(x):
+            # joint ladder needs host dispatch; inside a jit trace fall back
+            # to the scan-based NAF ladder (still correct, ~2x squarings)
+            return self.gt_exp(x, e)
         sq, mul = _gt_kernels(self)
         res = None
-        assert not hostloop.is_tracing(x), "gt_exp_glv is host-driven"
         for i in range(nbits - 1, -1, -1):
             if res is not None:
                 res = sq(res)

@@ -155,7 +155,8 @@ def test_ted_companions_on_curve(ted):
     assert c.f.to_int(res.x) == [0] and c.f.to_int(res.y) == [1], ted
 
 
-@pytest.mark.parametrize("name", ["secp256k1_g1", "stark_g1"])
+@pytest.mark.parametrize("name", ["secp256k1_g1", "stark_g1",
+                                  "bls12_381_g1"])
 def test_ecdsa_public_key_recovery(name):
     """SignForRecover + RecoverFrom roundtrip (ecdsa.go:248,
     marshal.go:58): recovered key equals the signer's; signatures are
