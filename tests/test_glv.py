@@ -64,3 +64,24 @@ def test_bandersnatch_glv_scalar_mul():
     got = np.asarray(c.to_affine(c.scalar_mul_glv(g, ks)))
     expect = np.asarray(c.to_affine(c.scalar_mul_int(g, ks)))
     assert np.array_equal(got, expect)
+
+
+@pytest.mark.parametrize("family", ["bn254", "bls12_381", "bls12_377"])
+def test_g2_gls_scalar_mul(family):
+    """4-dim GLV-GLS G2 mul vs the plain ladder (g2.go:934 mulGLS)."""
+    from gnark_crypto_tpu.curve.g2 import g2_curve
+    from gnark_crypto_tpu.curve.glv import scalar_mul_gls
+
+    g2 = g2_curve(family)
+    f = g2.fp
+    r = g2.spec.fr.modulus
+    rng = random.Random(6)
+    ks = [1, r - 1, rng.randrange(r)]
+    g = g2.generator_affine()
+    gb = type(g)(f.broadcast_to(g.x, (len(ks),)),
+                 f.broadcast_to(g.y, (len(ks),)))
+    q = g2.from_affine(gb)
+    got = np.asarray(g2.to_affine(scalar_mul_gls(family, q, ks)))
+    expect = np.asarray(g2.to_affine(g2.scalar_mul(
+        q, g2.fr.from_int(ks, mont=False))))
+    assert np.array_equal(got, expect)
