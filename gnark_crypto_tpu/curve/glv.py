@@ -167,6 +167,8 @@ _GLS_SEED = {
     "bn254": 4965661367192848881,
     "bls12_381": -15132376222941642752,
     "bls12_377": 9586122913090633729,
+    "bls24_315": -3218079743,
+    "bls24_317": 3640754176,
 }
 
 
@@ -201,7 +203,8 @@ def scalar_mul_gls(family: str, q: Jac, ks: list[int]) -> Jac:
     w2 = g1spec.glv_third_root * g1spec.glv_third_root % p_mod
 
     def phi2(t: Jac) -> Jac:  # x *= thirdRootOneG2 (bn254.go:114, g2.go:848)
-        c = f.broadcast_to(f.from_int((w2, 0)), f.eshape(t.x))
+        # degree-0 embed works for E2 and E4 coordinate engines alike
+        c = f.broadcast_to(f.from_int(w2), f.eshape(t.x))
         return Jac(f.mul(t.x, c), t.y, t.z)
 
     bases = [q, phi2(q)]
@@ -220,6 +223,20 @@ def scalar_mul_gls(family: str, q: Jac, ks: list[int]) -> Jac:
 
     acc0 = g2.inf_jac(f.eshape(q.x))
 
+    from gnark_crypto_tpu.utils import hostloop
+    if not hostloop.is_tracing(q):
+        # eager: dispatch one small jitted (double + 4 masked adds) kernel
+        # per bit row — the fused 4-add scan body over tower coordinates is
+        # exactly the giant-program shape XLA:CPU chokes on (hostloop.py)
+        import numpy as np
+
+        step = _gls_ladder_ops(g2)
+        rows = np.asarray(bits)
+        acc = acc0
+        for t in range(nbits):
+            acc = step(acc, tuple(basev), jnp.asarray(rows[t]))
+        return acc
+
     def body(acc, bb):
         acc = g2.double(acc)
         for i in range(4):
@@ -228,6 +245,20 @@ def scalar_mul_gls(family: str, q: Jac, ks: list[int]) -> Jac:
 
     acc, _ = jax.lax.scan(body, acc0, bits)
     return acc
+
+
+@_functools.lru_cache(maxsize=None)
+def _gls_ladder_ops(g2):
+    """Jitted one-step kernel for the eager 4-base GLS ladder."""
+    import jax
+
+    def _step(acc, bases, bit_rows):
+        acc = g2.double(acc)
+        for i in range(4):
+            acc = _sel(g2.fp, bit_rows[i] == 1, g2.add(acc, bases[i]), acc)
+        return acc
+
+    return jax.jit(_step)
 
 
 def scalar_mul_glv(curve: Curve, p: Jac, ks: list[int]) -> Jac:

@@ -66,7 +66,16 @@ def test_bandersnatch_glv_scalar_mul():
     assert np.array_equal(got, expect)
 
 
-@pytest.mark.parametrize("family", ["bn254", "bls12_381", "bls12_377"])
+_SLOW = pytest.mark.skipif(
+    not __import__("os").environ.get("GNARK_SLOW_TESTS"),
+    reason="bls24 E4 kernels compile for ~30min on XLA:CPU; passed "
+           "2026-08-18 (set GNARK_SLOW_TESTS=1 to run)")
+
+
+@pytest.mark.parametrize("family", [
+    "bn254", "bls12_381", "bls12_377",
+    pytest.param("bls24_315", marks=_SLOW),
+    pytest.param("bls24_317", marks=_SLOW)])
 def test_g2_gls_scalar_mul(family):
     """4-dim GLV-GLS G2 mul vs the plain ladder (g2.go:934 mulGLS)."""
     from gnark_crypto_tpu.curve.g2 import g2_curve
