@@ -247,6 +247,24 @@ def scalar_mul_gls(family: str, q: Jac, ks: list[int]) -> Jac:
     return acc
 
 
+def g2_scalar_mul_fast(family: str, q: Jac, ks: list[int]) -> Jac:
+    """Best endomorphism-accelerated [k]Q on G2 for host-int scalars:
+    4-dim GLV-GLS on the tower families, 2-dim GLV on BW6 (whose G2 is a
+    plain Fp curve with thirdRootOneG2, bw6-761.go:128), plain ladder
+    otherwise. Used by KZG SRS setup and the mpcsetup G2 updates — the
+    reference reaches these through mulGLV/mulGLS inside
+    ScalarMultiplication (g2.go:591)."""
+    from gnark_crypto_tpu.curve.g2 import g2_curve
+
+    g2 = g2_curve(family)
+    if family in _GLS_SEED:
+        return scalar_mul_gls(family, q, ks)
+    if g2.spec.glv_lambda is not None:
+        return scalar_mul_glv(g2, q, ks)
+    r = g2.spec.fr.modulus
+    return g2.scalar_mul(q, g2.fr.from_int([k % r for k in ks], mont=False))
+
+
 @_functools.lru_cache(maxsize=None)
 def _gls_ladder_ops(g2):
     """Jitted one-step kernel for the eager 4-base GLS ladder."""

@@ -89,8 +89,8 @@ def new_srs(name: str, size: int, alpha: int) -> SRS:
 
     g2gen = g2c.generator_affine()
     g2b = Jac(*(g2c.fp.broadcast_to(c, (1,)) for c in g2c.from_affine(g2gen)))
-    a_k = g2c.fr.from_int([alpha % r], mont=False)
-    alpha_g2 = g2c.to_affine(g2c.scalar_mul(g2b, a_k))
+    from gnark_crypto_tpu.curve.glv import g2_scalar_mul_fast
+    alpha_g2 = g2c.to_affine(g2_scalar_mul_fast(name, g2b, [alpha % r]))
     g2_aff = Affine(g2c.fp.broadcast_to(g2gen.x, (1,)),
                     g2c.fp.broadcast_to(g2gen.y, (1,)))
     g1_aff = Affine(g1c.fp.broadcast_to(g.x, (1,)),

@@ -21,6 +21,7 @@ import dataclasses
 import hashlib
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -59,10 +60,12 @@ def _scale_g1(name, pts: Affine, k: int) -> Affine:
 
 
 def _scale_g2(name, pts: Affine, k: int) -> Affine:
+    from gnark_crypto_tpu.curve.glv import g2_scalar_mul_fast
+
     g2c = g2_curve(name)
     n = pts.x.shape[0]
-    ks = g2c.fr.from_int([k] * n, mont=False)
-    return g2c.to_affine(g2c.scalar_mul(g2c.from_affine(pts), ks))
+    return g2c.to_affine(
+        g2_scalar_mul_fast(name, g2c.from_affine(pts), [k] * n))
 
 
 def update_monomials_g1(name: str, pts: Affine, x: int) -> Affine:
@@ -110,13 +113,14 @@ def _lincomb_g1(name, pts: Affine, coeffs: list[int]) -> Affine:
 
 
 def _lincomb_g2(name, pts: Affine, coeffs: list[int]) -> Affine:
+    from gnark_crypto_tpu.curve.glv import g2_scalar_mul_fast
+
     g2c = g2_curve(name)
-    acc = None
-    for i, c in enumerate(coeffs):
-        p = Affine(pts.x[i : i + 1], pts.y[i : i + 1])
-        term = g2c.scalar_mul(g2c.from_affine(p),
-                              g2c.fr.from_int([c], mont=False))
-        acc = term if acc is None else g2c.add(acc, term)
+    # one batched endomorphism-ladder over all lanes, then fold the lanes
+    terms = g2_scalar_mul_fast(name, g2c.from_affine(pts), list(coeffs))
+    acc = jax.tree.map(lambda a: a[0:1], terms)
+    for i in range(1, len(coeffs)):
+        acc = g2c.add(acc, jax.tree.map(lambda a: a[i : i + 1], terms))
     return g2c.to_affine(acc)
 
 

@@ -38,6 +38,31 @@ def test_glv_scalar_mul_matches_ladder():
     assert got == expect
 
 
+def test_bw6_g2_glv_scalar_mul():
+    """BW6 G2 is a plain Fp curve with the same 2-dim GLV as G1
+    (thirdRootOneG2 = thirdRootOneG1^2, bw6-761.go:128)."""
+    from gnark_crypto_tpu.curve.g2 import g2_curve
+
+    g2 = g2_curve("bw6_761")
+    spec = g2.spec
+    r = spec.fr.modulus
+    # eigenvalue sanity: lambda^2 + lambda + 1 = 0 mod r (cube-root action)
+    assert (spec.glv_lambda ** 2 + spec.glv_lambda + 1) % r == 0
+    p = spec.fp.modulus
+    assert pow(spec.glv_third_root, 3, p) == 1 and spec.glv_third_root != 1
+    rng = random.Random(7)
+    ks = [1, r - 1, rng.randrange(r)]
+    g = g2.generator_affine()
+    f = g2.fp
+    gb = type(g)(f.broadcast_to(g.x, (len(ks),)),
+                 f.broadcast_to(g.y, (len(ks),)))
+    q = g2.from_affine(gb)
+    got = affine_to_ints(g2, g2.to_affine(glv.scalar_mul_glv(g2, q, ks)))
+    expect = affine_to_ints(g2, g2.to_affine(g2.scalar_mul(
+        q, g2.fr.from_int(ks, mont=False))))
+    assert got == expect
+
+
 def test_bandersnatch_phi_eigenvalue():
     """phi(P) == [lambda]P on the prime subgroup
     (bandersnatch/endomorpism.go:11, curve.go:70)."""
