@@ -62,18 +62,18 @@ def _ntt_once(n, iters):
 
 
 def bench_ntt(n=1 << 20, iters=10):
-    """Self-tuning: measures the radix-2 four-step and (if it compiles and
-    runs) the radix-4 fused variant, reports the faster one."""
+    """Self-tuning: measures the radix-4 fused four-step (the default) and
+    the radix-2 fallback, reports the faster one."""
     import jax
 
     results = {}
     rate, dt = _ntt_once(n, iters)
-    results["r2"] = (rate, dt)
+    results["r4"] = (rate, dt)
     try:
-        os.environ["GNARK_NTT_RADIX4"] = "1"
+        os.environ["GNARK_NTT_RADIX4"] = "0"
         jax.clear_caches()
-        rate4, dt4 = _ntt_once(n, iters)
-        results["r4"] = (rate4, dt4)
+        rate2, dt2 = _ntt_once(n, iters)
+        results["r2"] = (rate2, dt2)
     except Exception:
         pass
     finally:
@@ -108,21 +108,9 @@ def _f31_ntt_once(n, iters):
 
 def bench_f31_ntt(n=1 << 20, iters=20):
     """koalabear NTT — the small-field tier where 32-bit lanes are native.
-    Self-tunes between the radix-2 and radix-4 big-stage variants."""
-    import jax
-
-    results = {}
-    results["r2"] = _f31_ntt_once(n, iters)
-    try:
-        os.environ["GNARK_NTT_RADIX4"] = "1"
-        jax.clear_caches()
-        results["r4"] = _f31_ntt_once(n, iters)
-    except Exception:
-        pass
-    finally:
-        os.environ.pop("GNARK_NTT_RADIX4", None)
-        jax.clear_caches()
-    return max(results.values())
+    Radix-2 (the f31 default; radix-4 measured slower on the bench chip —
+    see pallas_ntt_f31.run_stages_pallas_f31)."""
+    return _f31_ntt_once(n, iters)
 
 
 def bench_msm(n=1 << 16, iters=4):

@@ -603,11 +603,12 @@ def _tables4_r4(domain, inverse: bool):
 # ---------------------------------------------------------------------------
 
 def _radix4_enabled() -> bool:
-    """Fused radix-4 stage pairs (half the HBM passes). Opt-in via
-    GNARK_NTT_RADIX4=1 until measured on the bench chip; =0 forces off."""
+    """Fused radix-4 stage pairs (half the HBM passes). Default ON —
+    measured 2026-08-19 on the bench chip: bn254 2^20 17.45 ms vs 20.44 ms
+    radix-2 (1.17x). GNARK_NTT_RADIX4=0 forces the radix-2 stages."""
     import os
 
-    return os.environ.get("GNARK_NTT_RADIX4", "") == "1"
+    return os.environ.get("GNARK_NTT_RADIX4", "1") != "0"
 
 
 def run_stages_four_step(domain, a, decimation: str, inverse: bool,

@@ -307,7 +307,7 @@ def _tables(domain, inverse: bool, tail_tile: int):
 def run_stages_pallas_f31(domain, a, decimation: str, inverse: bool,
                           interpret: bool = False):
     """Drop-in replacement for fft._run_stages on flat (n,) uint32 arrays."""
-    from gnark_crypto_tpu.ntt.pallas_ntt4 import _radix4_enabled
+    import os
 
     spec = domain.eng.spec
     n, k = domain.n, domain.k
@@ -316,7 +316,11 @@ def run_stages_pallas_f31(domain, a, decimation: str, inverse: bool,
     big_stages = [s for s in range(k) if (n >> (s + 1)) >= ROWS * LANES]
     tail_halves = tuple(n >> (s + 1) for s in range(k)
                         if (n >> (s + 1)) < ROWS * LANES)
-    r4 = _radix4_enabled() and len(big_stages) >= 2
+    # default OFF for f31: the cheap 31-bit butterflies are bandwidth-bound
+    # and the radix-4 variant's LANES-wide tiles lose DMA efficiency
+    # (measured 2026-08-19: 2.53 ms vs 1.79 ms radix-2 @ 2^20 koalabear)
+    r4 = (os.environ.get("GNARK_NTT_RADIX4_F31", "") == "1"
+          and len(big_stages) >= 2)
     # uniform block width so the radix-4 block permutation composes across
     # passes; the smallest big stage always has lane stride exactly LANES
     tile = LANES if r4 else min(W, TILE_W)
