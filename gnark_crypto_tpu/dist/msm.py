@@ -89,13 +89,8 @@ def msm_sharded_2d(spec: CurveSpec, mesh: Mesh, points: Affine, scalars,
         my_mags = lax.dynamic_slice_in_dim(mags_p, w0, wb, axis=0)
         my_negs = lax.dynamic_slice_in_dim(negs_p, w0, wb, axis=0)
 
-        def window(carry, xs):
-            mag, neg = xs
-            return carry, pippenger._bucket_accumulate(curve, pts, mag,
-                                                       neg, c)
-
-        _, buckets = lax.scan(window, 0, (my_mags, my_negs))
-        totals = pippenger._weighted_sweep(curve, buckets, c)  # (wb, ...)
+        totals = pippenger._window_totals(curve, pts, my_mags, my_negs,
+                                          c)                   # (wb, ...)
 
         # combine point-shard partials per window: group-add fold of the
         # dp-axis gather (one point per device per window)

@@ -249,7 +249,6 @@ def _use_pallas_mul(spec: FieldSpec, x, y) -> bool:
     return n >= 2048
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
 def mul(spec: FieldSpec, x, y, unroll: bool | None = None):
     """Montgomery product x*y*R^-1 mod q, lazy-carry operand-scan CIOS.
 
@@ -258,7 +257,24 @@ def mul(spec: FieldSpec, x, y, unroll: bool | None = None):
     registry). Reference: ``element_amd64.go:46-52`` / ``element.go:478``.
     Large batches on TPU dispatch to the Pallas kernel
     (``field/pallas/mont_mul.py``), the asm tier of this engine.
+
+    ``unroll=None`` resolves here (outside the jit cache key): straight-line
+    unrolled CIOS only for batches big enough to be compute-bound — small
+    batches keep the compact ``fori_loop`` form so programs that trace MANY
+    muls (the pairing Miller scan: ~300 muls/step) stay compilable (the
+    unrolled form is ~2400 HLO ops per mul and crashes the TPU compiler at
+    whole-pairing scale).
     """
+    if unroll is None:
+        n = 1
+        for d in jnp.broadcast_shapes(x.shape[:-1], y.shape[:-1]):
+            n *= d
+        unroll = _unroll_default() and n >= 1024
+    return _mul_jit(spec, x, y, unroll)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _mul_jit(spec: FieldSpec, x, y, unroll: bool):
     if _use_pallas_mul(spec, x, y):
         from gnark_crypto_tpu.field.pallas.mont_mul import mont_mul
         L = spec.n_limbs
@@ -266,8 +282,6 @@ def mul(spec: FieldSpec, x, y, unroll: bool | None = None):
         xb = jnp.broadcast_to(x, (*shape, L)).reshape(-1, L)
         yb = jnp.broadcast_to(y, (*shape, L)).reshape(-1, L)
         return mont_mul(spec, xb, yb).reshape(*shape, L)
-    if unroll is None:
-        unroll = _unroll_default()
     t = _mul_unrolled(spec, x, y) if unroll else _mul_loop(spec, x, y)
     return _cond_sub_q(spec, _carry(spec, t))
 
@@ -398,7 +412,22 @@ def exp_const(spec: FieldSpec, x, e: int):
 
 @functools.partial(jax.jit, static_argnums=0)
 def inverse(spec: FieldSpec, x):
-    """x^-1 via Fermat (x^(q-2)); maps 0 -> 0 like the reference Inverse."""
+    """x^-1 via Fermat (x^(q-2)); maps 0 -> 0 like the reference Inverse.
+
+    Small batches on TPU run the whole ladder inside one Pallas kernel
+    (``field/pallas/exp.py``): the bit-scan form is ~254 sequential tiny
+    device ops (~77 ms measured at width 1) while the in-VMEM ladder is
+    ~1 ms — this is the Montgomery-trick seed inversion on the MSM hot path.
+    """
+    import jax as _jax
+
+    n = 1
+    for d2 in x.shape[:-1]:
+        n *= d2
+    if _jax.default_backend() == "tpu" and 0 < n <= 128:
+        from gnark_crypto_tpu.field.pallas.exp import inverse_small
+        L = spec.n_limbs
+        return inverse_small(spec, x.reshape(-1, L)).reshape(x.shape)
     return exp_const(spec, x, spec.modulus - 2)
 
 

@@ -77,13 +77,10 @@ def _dbl_core(mul, add2, sub2, dbl, a_is_zero, a_tile, x1, y1, z1):
     return xd, yd, zd
 
 
-def _kernel(spec: FieldSpec, l_pad: int, a_is_zero: bool,
-            x1r, y1r, z1r, x2r, y2r, z2r, qr, ar,
-            x3r, y3r, z3r):
-    q_col = qr[:]
+def _add_core(spec, l_pad, a_is_zero, a_tile, q_col,
+              x1, y1, z1, x2, y2, z2):
+    """Complete masked Jacobian add on limb tiles -> (ox, oy, oz)."""
     mul, add2, sub2, dbl = _field_ops(spec, l_pad, q_col)
-    x1, y1, z1 = x1r[:], y1r[:], z1r[:]
-    x2, y2, z2 = x2r[:], y2r[:], z2r[:]
 
     # --- add-2007-bl (g1.go:332)
     z1z1 = mul(z1, z1)
@@ -104,7 +101,7 @@ def _kernel(spec: FieldSpec, l_pad: int, a_is_zero: bool,
     z3 = mul(sub2(sub2(mul(z12, z12), z1z1), z2z2), h)
 
     # --- double fallback (g1.go:397, dbl-2009-l / dbl-2007-bl)
-    xd, yd, zd = _dbl_core(mul, add2, sub2, dbl, a_is_zero, ar[:],
+    xd, yd, zd = _dbl_core(mul, add2, sub2, dbl, a_is_zero, a_tile,
                            x1, y1, z1)
 
     # --- completeness masks (curve/jacobian.py add)
@@ -125,6 +122,14 @@ def _kernel(spec: FieldSpec, l_pad: int, a_is_zero: bool,
                   _sel(p_inf, z2, oz))
     ox, oy, oz = (_sel(q_inf, x1, ox), _sel(q_inf, y1, oy),
                   _sel(q_inf, z1, oz))
+    return ox, oy, oz
+
+
+def _kernel(spec: FieldSpec, l_pad: int, a_is_zero: bool,
+            x1r, y1r, z1r, x2r, y2r, z2r, qr, ar,
+            x3r, y3r, z3r):
+    ox, oy, oz = _add_core(spec, l_pad, a_is_zero, ar[:], qr[:],
+                           x1r[:], y1r[:], z1r[:], x2r[:], y2r[:], z2r[:])
     x3r[:] = ox
     y3r[:] = oy
     z3r[:] = oz
@@ -198,3 +203,70 @@ def jac_double(spec: FieldSpec, a_int: int, x1, y1, z1,
                interpret: bool = False):
     """Jacobian double on (N, L) int32 coordinate arrays (infinity-safe)."""
     return _launch(spec, a_int, _dbl_kernel, (x1, y1, z1), interpret)
+
+
+# -- in-kernel Horner window fold --------------------------------------------
+
+def _fold_kernel(spec: FieldSpec, l_pad: int, a_is_zero: bool,
+                 nwin: int, c: int, xr, yr, zr, qr, ar, oxr, oyr, ozr):
+    """acc = sum_w 2^(cw) T_w, the whole c*(nwin-1)-deep doubling chain in
+    VMEM (the XLA scan form is ~270 sequential dispatches = ~190 ms of pure
+    latency at width 1; in-kernel it is microseconds of VPU work).
+
+    Window w sits in lane w of the (l_pad, LANES) tiles; the accumulator is
+    a broadcast tile (all lanes equal). Lane w is extracted with a masked
+    lane-reduction (Mosaic cannot lower a dynamic single-lane load)."""
+    q_col = qr[:]
+    a_tile = ar[:]
+    mul, add2, sub2, dbl = _field_ops(spec, l_pad, q_col)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (l_pad, TILE), 1)
+
+    def lane_bcast(t, w):
+        col = jnp.sum(jnp.where(lane == w, t, 0), axis=1, keepdims=True)
+        return jnp.broadcast_to(col, t.shape)
+
+    x, y, z = xr[:], yr[:], zr[:]
+    acc = (lane_bcast(x, nwin - 1), lane_bcast(y, nwin - 1),
+           lane_bcast(z, nwin - 1))
+
+    def body(i, acc):
+        ax, ay, az = acc
+        for _ in range(c):
+            ax, ay, az = _dbl_core(mul, add2, sub2, dbl, a_is_zero,
+                                   a_tile, ax, ay, az)
+        w = nwin - 2 - i
+        tx, ty, tz = lane_bcast(x, w), lane_bcast(y, w), lane_bcast(z, w)
+        return _add_core(spec, l_pad, a_is_zero, a_tile, q_col,
+                         ax, ay, az, tx, ty, tz)
+
+    ax, ay, az = jax.lax.fori_loop(0, nwin - 1, body, acc)
+    oxr[:] = ax
+    oyr[:] = ay
+    ozr[:] = az
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 5, 6))
+def jac_fold_windows(spec: FieldSpec, a_int: int, x, y, z, c: int,
+                     interpret: bool = False):
+    """Horner fold of per-window totals (msmReduceChunkG1Affine,
+    multiexp.go:303): x/y/z are (nwin, L) Jacobian coords, nwin <= TILE.
+    Returns the folded point as (1, L) coordinate arrays."""
+    nwin, L = x.shape
+    assert nwin <= TILE
+    l_pad = _round_up(max(L, 8), 8)
+
+    def tr(a):
+        return jnp.zeros((l_pad, TILE), jnp.int32).at[:L, :nwin].set(a.T)
+
+    qt, at = _q_a_tiles(spec, l_pad, a_int)
+    kern = functools.partial(_fold_kernel, spec, l_pad, a_int == 0, nwin, c)
+    bs = pl.BlockSpec((l_pad, TILE), lambda: (0, 0),
+                      memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((l_pad, TILE), jnp.int32)] * 3,
+        in_specs=[bs] * 5,
+        out_specs=[bs] * 3,
+        interpret=interpret,
+    )(tr(x), tr(y), tr(z), jnp.asarray(qt), jnp.asarray(at))
+    return tuple(o[:L, :1].T for o in out)

@@ -6,13 +6,23 @@ Counterpart of the reference's ``ecc/bn254/multiexp.go`` (``MultiExp``,
   * signed window digits (same math as ``partitionScalars`` — signed digits
     in [-2^(c-1), 2^(c-1)] halve the bucket count) computed limb-parallel;
   * the data-dependent *bucket scatter* (reference hot loops A/B) does not
-    vectorize; instead each window sorts points by digit magnitude (XLA sort,
-    cheap vs field ops) and reduces equal-digit runs with a **segmented
-    associative scan** (work-efficient: ~2N masked point-adds over full-width
-    lanes, ~2 log2 N sequential rounds instead of N sequential bucket writes);
+    vectorize; instead points are sorted by (window, digit) key (XLA sort,
+    cheap vs field ops) and equal-key runs reduce with a **segmented tree
+    reduction** (work-efficient: ~N point-adds over full-width lanes,
+    log2 N sequential rounds instead of N sequential bucket writes);
+  * the tree nodes are **batch-affine** (the TPU face of the reference's
+    ``processChunkG1BatchAffine`` / ``batchAddG1Affine`` g1.go:1396): every
+    level does ONE complete masked affine add across the full width, with
+    the per-lane inversion amortized to ~3 muls by a log-depth Montgomery
+    batch-inverse — ~10 field muls per point-add instead of ~26 for the
+    complete Jacobian formulas (GNARK_MSM_JAC=1 restores the Jacobian tree);
+  * ALL windows share one flat sorted array (keys carry the window index),
+    so each tree level needs a single width-1 Fermat inversion — windows
+    are grouped only to bound peak memory (GNARK_MSM_MAX_FLAT lanes);
   * segment tails scatter into the bucket array with a plain XLA ``set``
     scatter (unique indices — no combining needed);
-  * the weighted bucket sweep runs once, vectorized across all windows;
+  * the weighted bucket sweep runs once, vectorized across all windows,
+    with mixed (Jacobian+affine) adds since buckets are affine;
   * final window fold = Horner with c doublings per window
     (``msmReduceChunkG1Affine`` multiexp.go:303).
 
@@ -23,6 +33,7 @@ Montgomery) fr values.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -99,6 +110,221 @@ def signed_digits(curve: Curve, scalars, c: int):
         mags.append(mag)
         negs.append(big)
     return jnp.stack(mags), jnp.stack(negs)
+
+
+def _sel2(f, cond, a: Affine, b: Affine) -> Affine:
+    return Affine(f.where(cond, a.x, b.x), f.where(cond, a.y, b.y))
+
+
+def _log_batch_inverse(f, d):
+    """Montgomery-trick batch inversion with log-depth tree scans.
+
+    ``field.mont.batch_inverse`` is a sequential lax.scan (fine for host-ish
+    widths); the MSM tree needs full-lane-width inversions, so this variant
+    does pairwise up-sweep products (N muls), ONE width-1 Fermat inversion,
+    and a pairwise down-sweep (2N muls) — 2*log2(N) sequential rounds total.
+    Zero entries must be pre-masked to 1 by the caller.
+    """
+    w = f.eshape(d)[0]
+    m = 1 << (w - 1).bit_length()
+    if m != w:
+        pad = f.broadcast_to(f.ones(), (m - w,))
+        d = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0),
+                         d, pad)
+    levels = [d]
+    while f.eshape(levels[-1])[0] > 1:
+        cur = levels[-1]
+        levels.append(f.mul(cur[0::2], cur[1::2]))
+    inv = f.inverse(levels[-1])
+    for cur in levels[-2::-1]:
+        a, b = cur[0::2], cur[1::2]
+        ia = f.mul(inv, b)
+        ib = f.mul(inv, a)
+        half = ia.shape[0]
+        inv = jnp.stack([ia, ib], axis=1).reshape(2 * half, *ia.shape[1:])
+    return inv[:w]
+
+
+def _affine_add_complete(curve: Curve, p: Affine, q: Affine) -> Affine:
+    """Complete short-Weierstrass add on affine batches, one shared batched
+    inversion (reference ``batchAddG1Affine`` g1.go:1396 — but masked-complete
+    instead of conflict-queued: doubling shares the same inversion by
+    swapping the denominator to 2y).
+
+    ~7 field muls per lane + ~3 amortized for the inversion, vs ~26 for the
+    complete Jacobian add — the reason MSM buckets are affine here, exactly
+    like the reference's batch-affine bucket path (multiexp_affine.go:24).
+    """
+    f = curve.fp
+    shape = f.eshape(p.x)
+    p_inf = curve.is_inf_affine(p)
+    q_inf = curve.is_inf_affine(q)
+    both = (~p_inf) & (~q_inf)
+    x_eq = f.equal(p.x, q.x)
+    y_eq = f.equal(p.y, q.y)
+    is_dbl = x_eq & y_eq & both
+    inf_out = (x_eq & (~y_eq) & both) | (is_dbl & f.is_zero(p.y))
+    den = f.where(is_dbl, f.double(p.y), f.sub(q.x, p.x))
+    ones = f.broadcast_to(f.ones(), shape)
+    den = f.where(f.is_zero(den), ones, den)
+    dinv = _log_batch_inverse(f, den)
+    x2 = f.square(p.x)
+    num_dbl = f.add(f.double(x2), x2)  # 3x^2 (+ a)
+    if not curve.a_is_zero:
+        num_dbl = f.add(num_dbl, f.broadcast_to(
+            f.from_int(curve.spec.a), shape))
+    num = f.where(is_dbl, num_dbl, f.sub(q.y, p.y))
+    s = f.mul(num, dinv)
+    x3 = f.sub(f.sub(f.square(s), p.x), q.x)
+    y3 = f.sub(f.mul(s, f.sub(p.x, x3)), p.y)
+    zero = f.zeros(shape)
+    out = Affine(x3, y3)
+    out = _sel2(f, inf_out, Affine(zero, zero), out)
+    out = _sel2(f, p_inf, q, out)
+    out = _sel2(f, q_inf, p, out)
+    return out
+
+
+def _bot_width() -> int:
+    """Tree width below which the accumulator switches from unrolled
+    affine compaction levels to ONE constant-shape strided lax.scan in
+    Jacobian coordinates: the small-width levels are cheap at any formula
+    cost, and folding their log2(W) levels into a single compiled body is
+    what keeps the whole-MSM XLA graph compilable on TPU."""
+    return int(os.environ.get("GNARK_MSM_BOT_W", str(1 << 14)))
+
+
+def _bucket_accumulate_affine(curve: Curve, points: Affine, mag, neg,
+                              c: int) -> Jac:
+    """Window GROUP -> Jacobian bucket array ((G*slots + 1, ...) sliced to
+    (G, slots)); slot 0 of each window holds digit-0 junk (never swept).
+
+    mag/neg: (G, N). All G windows flatten into ONE sorted array keyed by
+    window*slots + digit (distinct windows never share a key, so runs never
+    merge across windows). Two phases:
+
+      1. while width > GNARK_MSM_BOT_W: batch-affine compaction levels —
+         one complete masked affine add per level with a shared log-depth
+         batched inversion (one Pallas Fermat per level);
+      2. the remaining log2(BOT_W) levels run in-place at constant width
+         under ONE lax.scan (strided pairing, Jacobian adds — no
+         inversions), so the compiled graph is O(levels_phase1) not
+         O(log N).
+
+    Every digit-run completes exactly once across both phases, so all
+    bucket scatters still hit unique keys.
+    """
+    f = curve.fp
+    G, n = mag.shape
+    half = 1 << (c - 1)
+    slots = half + 1
+    sentinel = G * slots
+
+    keys = (mag + (jnp.arange(G, dtype=mag.dtype) * slots)[:, None]
+            ).reshape(G * n)
+    negf = neg.reshape(G * n)
+    m = 1 << (G * n - 1).bit_length()
+    if m != G * n:
+        keys = jnp.concatenate(
+            [keys, jnp.full((m - G * n,), sentinel, keys.dtype)])
+        negf = jnp.concatenate(
+            [negf, jnp.zeros((m - G * n,), negf.dtype)])
+
+    order = jnp.argsort(keys)
+    key_s = keys[order]
+    neg_s = negf[order]
+    pidx = order % n
+    px = jax.tree.map(lambda a: jnp.take(a, pidx, axis=0), points.x)
+    py = jax.tree.map(lambda a: jnp.take(a, pidx, axis=0), points.y)
+    py = f.where(neg_s, f.neg(py), py)
+    # digit-0 / sentinel entries -> infinity (key % slots == 0 covers both)
+    is_zero_digit = (key_s % slots) == 0
+    zero = f.zeros((m,))
+    px = f.where(is_zero_digit, zero, px)
+    py = f.where(is_zero_digit, zero, py)
+
+    buckets = curve.inf_jac((sentinel + 1,))
+
+    def scatter(bk: Jac, valid, pt: Jac, d):
+        idx = jnp.where(valid, d, 0)
+        return Jac(*(bc.at[idx].set(f.where(valid, pc, bc[idx]))
+                     for bc, pc in zip(bk, pt)))
+
+    # ---- phase 1: batch-affine compaction levels -------------------------
+    pre = suf = Affine(px, py)    # leftmost / rightmost run partial sums
+    pre_d = suf_d = key_s
+    single = jnp.ones((m,), bool)  # node spans a single digit-run
+    bot = _bot_width()
+    while f.eshape(pre.x)[0] > bot:
+        l_pre = Affine(pre.x[0::2], pre.y[0::2])
+        l_suf = Affine(suf.x[0::2], suf.y[0::2])
+        r_pre = Affine(pre.x[1::2], pre.y[1::2])
+        r_suf = Affine(suf.x[1::2], suf.y[1::2])
+        l_pre_d, l_suf_d = pre_d[0::2], suf_d[0::2]
+        r_pre_d, r_suf_d = pre_d[1::2], suf_d[1::2]
+        l_single, r_single = single[0::2], single[1::2]
+
+        mid = _affine_add_complete(curve, l_suf, r_pre)
+        eq = l_suf_d == r_pre_d
+        # interior-run completions -> buckets
+        emit_a = (~l_single) & ((~eq) | (~r_single))
+        pt_a = _sel2(f, eq, mid, l_suf)
+        buckets = scatter(buckets, emit_a, curve.from_affine(pt_a), l_suf_d)
+        emit_b = (~eq) & (~r_single)
+        buckets = scatter(buckets, emit_b, curve.from_affine(r_pre), r_pre_d)
+        # new node
+        pre = _sel2(f, l_single & eq, mid, l_pre)
+        suf = _sel2(f, r_single & eq, mid, r_suf)
+        pre_d, suf_d = l_pre_d, r_suf_d
+        single = l_single & r_single & eq
+
+    # ---- phase 2: strided in-place levels, one lax.scan ------------------
+    # virtual node of size 2^(j+1) keeps its data at its first slot; step j
+    # merges slot i (left, i % 2^(j+1) == 0) with slot i + 2^j (right).
+    B = f.eshape(pre.x)[0]
+    preJ = curve.from_affine(pre)
+    sufJ = curve.from_affine(suf)
+    iota = jnp.arange(B, dtype=jnp.int32)
+
+    def step(carry, j):
+        preJ, sufJ, pre_d, suf_d, single, buckets = carry
+        s = jnp.left_shift(jnp.int32(1), j)
+        rl = lambda a: jnp.roll(a, -s, axis=0)  # slot i -> old slot i+s
+        r_pre = Jac(*(rl(a) for a in preJ))
+        r_suf = Jac(*(rl(a) for a in sufJ))
+        r_pre_d, r_suf_d = rl(pre_d), rl(suf_d)
+        r_single = rl(single)
+        aligned = (iota & (2 * s - 1)) == 0
+
+        mid = curve.add(Jac(*sufJ), r_pre)
+        eq = suf_d == r_pre_d
+        emit_a = aligned & (~single) & ((~eq) | (~r_single))
+        pt_a = _sel(f, eq, mid, Jac(*sufJ))
+        buckets = scatter(buckets, emit_a, pt_a, suf_d)
+        emit_b = aligned & (~eq) & (~r_single)
+        buckets = scatter(buckets, emit_b, r_pre, r_pre_d)
+
+        upd = lambda new, old: _sel(f, aligned, new, old)
+        new_pre = upd(_sel(f, single & eq, mid, Jac(*preJ)), Jac(*preJ))
+        new_suf = upd(_sel(f, r_single & eq, mid, r_suf), Jac(*sufJ))
+        new_suf_d = jnp.where(aligned, r_suf_d, suf_d)
+        new_single = jnp.where(aligned, single & r_single & eq, single)
+        return (tuple(new_pre), tuple(new_suf), pre_d, new_suf_d,
+                new_single, buckets), None
+
+    k_bot = B.bit_length() - 1
+    if k_bot:
+        carry = (tuple(preJ), tuple(sufJ), pre_d, suf_d, single, buckets)
+        carry, _ = lax.scan(step, carry,
+                            jnp.arange(k_bot, dtype=jnp.int32))
+        preJ, sufJ, pre_d, suf_d, single, buckets = carry
+        preJ, sufJ = Jac(*preJ), Jac(*sufJ)
+
+    ones1 = jnp.zeros((B,), bool).at[0].set(True)
+    buckets = scatter(buckets, ones1, Jac(*preJ), pre_d)
+    buckets = scatter(buckets, ones1 & ~single, Jac(*sufJ), suf_d)
+    return Jac(*(bc[:sentinel].reshape(G, slots, *bc.shape[1:])
+                 for bc in buckets))
 
 
 def _bucket_accumulate(curve: Curve, points: Affine, mag, neg, c: int):
@@ -255,12 +481,59 @@ def _weighted_sweep(curve: Curve, buckets: Jac, c: int,
     return curve.add(sum_t, w)
 
 
+def _max_flat() -> int:
+    """Peak lane width of the flat batch-affine accumulator (memory bound:
+    ~6 coordinate arrays of this width live at the first tree level)."""
+    return int(os.environ.get("GNARK_MSM_MAX_FLAT", str(1 << 21)))
+
+
+def _window_totals(curve: Curve, points: Affine, mags, negs, c: int) -> Jac:
+    """(nwin, N) digits -> per-window totals sum_j j*B_j, Jac (nwin, ...).
+
+    Windows are grouped so each flat accumulate stays under ``_max_flat()``
+    lanes; groups run under lax.scan (one compiled body). Group padding
+    windows have zero digits (infinity buckets) and are sliced off."""
+    nwin, n = mags.shape
+    G = max(1, min(nwin, _max_flat() // max(n, 1)))
+    ngroups = -(-nwin // G)
+    pad = ngroups * G - nwin
+    if pad:
+        mags = jnp.concatenate(
+            [mags, jnp.zeros((pad, *mags.shape[1:]), mags.dtype)])
+        negs = jnp.concatenate(
+            [negs, jnp.zeros((pad, *negs.shape[1:]), negs.dtype)])
+    mags_g = mags.reshape(ngroups, G, n)
+    negs_g = negs.reshape(ngroups, G, n)
+
+    def body(carry, mn):
+        mg, ng = mn
+        bk = _bucket_accumulate_affine(curve, points, mg, ng, c)
+        return carry, tuple(bk)
+
+    _, bks = lax.scan(body, 0, (mags_g, negs_g))  # (ngroups, G, slots, ...)
+    buckets = Jac(*(a.reshape(ngroups * G, *a.shape[2:]) for a in bks))
+    totals = _weighted_sweep(curve, buckets, c)
+    if pad:
+        totals = Jac(*jax.tree.map(lambda a: a[:nwin], totals))
+    return totals
+
+
 def _fold_windows(curve: Curve, totals: Jac, c: int):
     """Horner fold: acc = sum_w 2^(cw) * T_w (msmReduceChunkG1Affine).
 
-    lax.scan over windows, c static doublings per step — graph stays O(c).
+    On TPU base-field curves the whole c*(nwin-1)-deep chain runs inside
+    one Pallas kernel (the scan form is ~270 width-1 dispatches = ~190 ms
+    of latency); otherwise lax.scan over windows, c static doublings per
+    step — graph stays O(c).
     """
     nwin = totals.x.shape[0]
+    if (curve._pallas_ok and jax.default_backend() == "tpu"
+            and not os.environ.get("GNARK_TPU_NO_PALLAS_POINT")
+            and nwin <= 512 and totals.x.ndim == 2):
+        from gnark_crypto_tpu.field.pallas.point_add import jac_fold_windows
+        ox, oy, oz = jac_fold_windows(curve.spec.fp, curve.spec.a,
+                                      totals.x, totals.y, totals.z, c)
+        return Jac(ox[0], oy[0], oz[0])
     acc = Jac(*jax.tree.map(lambda a: a[nwin - 1], totals))
     rest = jax.tree.map(lambda a: a[: nwin - 1][::-1], totals)
 
@@ -286,15 +559,58 @@ def _msm_jit(spec: CurveSpec, px, py, c: int, scalars=None):
     curve = _resolve(spec)
     points = Affine(px, py)
     mags, negs = signed_digits(curve, scalars, c)
-    nwin = mags.shape[0]
 
-    def window(w_carry, xs):
-        mag, neg = xs
-        return w_carry, _bucket_accumulate(curve, points, mag, neg, c)
+    if os.environ.get("GNARK_MSM_JAC"):
+        # escape hatch: the original complete-Jacobian tree accumulator
+        def window(w_carry, xs):
+            mag, neg = xs
+            return w_carry, _bucket_accumulate(curve, points, mag, neg, c)
 
-    _, buckets = lax.scan(window, 0, (mags, negs))
-    totals = _weighted_sweep(curve, buckets, c)
+        _, buckets = lax.scan(window, 0, (mags, negs))
+        totals = _weighted_sweep(curve, buckets, c)
+    else:
+        totals = _window_totals(curve, points, mags, negs, c)
     return _fold_windows(curve, totals, c)
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_phase_kernels(curve: Curve, c: int):
+    """Separately-jitted MSM phases for the eager top-level path.
+
+    One monolithic jit of the whole MSM compiles pathologically slowly on
+    the TPU backend (>20 min at 2^16); splitting into digits / per-group
+    accumulate / sweep / fold keeps each compile bounded and lets the
+    group loop reuse ONE compiled accumulate program. Dispatch overhead is
+    a handful of host round trips — noise against the field work.
+    """
+    dig = jax.jit(lambda s: signed_digits(curve, s, c))
+    acc = jax.jit(lambda px, py, m, g: tuple(_bucket_accumulate_affine(
+        curve, Affine(px, py), m, g, c)))
+    sweep = jax.jit(lambda b: tuple(_weighted_sweep(curve, Jac(*b), c)))
+    fold = jax.jit(lambda t: _fold_windows(curve, Jac(*t), c))
+    return dig, acc, sweep, fold
+
+
+def _msm_eager(curve: Curve, points: Affine, scalars, c: int) -> Jac:
+    """Top-level (non-traced) MSM: host-dispatched phase kernels."""
+    dig, acc, sweep, fold = _msm_phase_kernels(curve, c)
+    mags, negs = dig(scalars)
+    nwin, n = mags.shape
+    G = max(1, min(nwin, _max_flat() // max(n, 1)))
+    bks = []
+    for g0 in range(0, nwin, G):
+        mg, ng = mags[g0:g0 + G], negs[g0:g0 + G]
+        if mg.shape[0] < G:  # pad the tail group to reuse the compiled acc
+            pad = G - mg.shape[0]
+            mg = jnp.concatenate(
+                [mg, jnp.zeros((pad, n), mg.dtype)])
+            ng = jnp.concatenate(
+                [ng, jnp.zeros((pad, n), ng.dtype)])
+        bks.append(acc(points.x, points.y, mg, ng))
+    buckets = tuple(jnp.concatenate(comp, axis=0)[:nwin]
+                    for comp in zip(*bks))
+    totals = sweep(buckets)
+    return fold(totals)
 
 
 def msm(spec: CurveSpec, points: Affine, scalars, c: int | None = None) -> Jac:
@@ -303,10 +619,29 @@ def msm(spec: CurveSpec, points: Affine, scalars, c: int | None = None) -> Jac:
     points: Affine batch (N); scalars: plain fr array (N). Returns Jac.
     ``spec`` may also be a Curve instance (required for G2 groups over
     extension fields, e.g. ``g2_curve("bn254")``).
+
+    Inputs larger than the flat accumulator budget are split into chunks
+    whose partial sums are group-added (the reference's recursive data
+    split, multiexp.go:129-141 — here bounding peak HBM instead of
+    balancing cores).
     """
     n = points.x.shape[0]
     assert scalars.shape[0] == n, "len(points) != len(scalars)"
     c = c or best_c(n)
+    from gnark_crypto_tpu.utils import hostloop
+    if (not hostloop.is_tracing(points.x, points.y, scalars)
+            and not os.environ.get("GNARK_MSM_JAC")):
+        curve = _resolve(spec)
+        chunk = _max_flat()
+        if n <= chunk:
+            return _msm_eager(curve, points, scalars, c)
+        acc = None
+        for s in range(0, n, chunk):
+            e = min(n, s + chunk)
+            part = _msm_eager(
+                curve, Affine(points.x[s:e], points.y[s:e]), scalars[s:e], c)
+            acc = part if acc is None else curve.add(acc, part)
+        return acc
     return _msm_jit(spec, points.x, points.y, c, scalars=scalars)
 
 

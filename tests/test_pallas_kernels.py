@@ -43,6 +43,45 @@ def test_pallas_jac_add_double_matches_engine(name):
     assert bool(np.asarray(curve.eq_jac(got_d, expect_d)).all())
 
 
+def test_pallas_exp_matches_engine():
+    """In-kernel square-and-multiply ladder (field/pallas/exp.py) vs the
+    engine's bit-scan Fermat — incl. 0 -> 0 and the q-2 inverse path."""
+    from gnark_crypto_tpu.field.pallas.exp import exp_const_pallas
+
+    spec = fs.BN254_FR
+    rng = random.Random(7)
+    q = spec.modulus
+    vals = [0, 1, q - 1] + [rng.randrange(q) for _ in range(5)]
+    x = mont.from_int(spec, vals)
+    for e in (q - 2, 3, (q - 1) // 2):
+        got = exp_const_pallas(spec, x, e, interpret=True)
+        expect = mont.exp_const(spec, x, e)
+        assert np.array_equal(np.asarray(got), np.asarray(expect)), hex(e)
+
+
+def test_pallas_fold_windows_matches_scan():
+    """In-kernel Horner window fold vs the lax.scan fold (incl. infinity
+    windows from group padding)."""
+    import jax.numpy as jnp
+
+    from gnark_crypto_tpu.curve.jacobian import Jac, curve_ops
+    from gnark_crypto_tpu.field.pallas.point_add import jac_fold_windows
+    from gnark_crypto_tpu.msm.pippenger import _fold_windows
+    from gnark_crypto_tpu.specs import curve as cs
+    from tests.test_curve_g1 import pts_to_device, rand_points
+
+    curve = curve_ops(cs.get_curve("bn254_g1"))
+    pts = rand_points(curve, 6, 21) + [None, None]  # inf totals too
+    random.Random(3).shuffle(pts)
+    T = curve.from_affine(pts_to_device(curve, pts))
+    c = 4
+    expect = _fold_windows(curve, T, c)
+    ox, oy, oz = jac_fold_windows(curve.spec.fp, curve.spec.a,
+                                  T.x, T.y, T.z, c, interpret=True)
+    got = Jac(ox[0], oy[0], oz[0])
+    assert bool(np.asarray(curve.eq_jac(got, expect)).all())
+
+
 @pytest.mark.parametrize("spec", [fs.BN254_FR, fs.BLS12_381_FP],
                          ids=lambda s: s.name)
 def test_pallas_mont_mul_matches_engine(spec):
