@@ -29,23 +29,20 @@ from gnark_crypto_tpu.specs.field import FieldSpec, int_to_limbs
 LANES = 128
 
 
-def _exp_kernel(spec: FieldSpec, l_pad: int, e: int,
-                x_ref, one_ref, q_ref, o_ref):
+def _exp_kernel(spec: FieldSpec, l_pad: int, nbits: int,
+                bits_ref, x_ref, one_ref, q_ref, o_ref):
     q = q_ref[:]
     x = x_ref[:]
-    acc = one_ref[:]  # R (Montgomery one)
-    # MSB-first square-and-multiply; bits are static so the schedule is a
-    # plain unrolled sequence of _mm_tile calls (each itself a fori_loop —
-    # Mosaic compile stays bounded).
-    nbits = e.bit_length()
-    started = False
-    for i in range(nbits - 1, -1, -1):
-        if started:
-            acc = _mm_tile(spec, l_pad, acc, acc, q)
-        if (e >> i) & 1:
-            acc = x if not started else _mm_tile(spec, l_pad, acc, x, q)
-            started = True
-    o_ref[:] = acc
+    # MSB-first square-and-multiply as a fori_loop over the exponent bits
+    # (read from SMEM): two _mm_tile instances total in the kernel IR —
+    # an unrolled 254-step schedule costs minutes of Mosaic compile and the
+    # persistent compile cache does not hit on this backend.
+    def body(i, acc):
+        acc = _mm_tile(spec, l_pad, acc, acc, q)
+        m = _mm_tile(spec, l_pad, acc, x, q)
+        return jnp.where(bits_ref[i] == 1, m, acc)
+
+    o_ref[:] = jax.lax.fori_loop(0, nbits, body, one_ref[:])
 
 
 @functools.lru_cache(maxsize=None)
@@ -57,6 +54,13 @@ def _const_tiles(spec: FieldSpec, l_pad: int):
         + (0,) * (l_pad - L), np.int32)[:, None]
     return (np.broadcast_to(q, (l_pad, LANES)).copy(),
             np.broadcast_to(one, (l_pad, LANES)).copy())
+
+
+@functools.lru_cache(maxsize=None)
+def _exp_bits(e: int):
+    nbits = e.bit_length()
+    return np.asarray([(e >> (nbits - 1 - i)) & 1 for i in range(nbits)],
+                      np.int32)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))
@@ -73,16 +77,18 @@ def exp_const_pallas(spec: FieldSpec, x, e: int, interpret: bool = False):
     l_pad = _round_up(max(L, 8), 8)
     xt = jnp.zeros((l_pad, LANES), jnp.int32).at[:L, :n].set(x.T)
     qt, onet = _const_tiles(spec, l_pad)
-    kern = functools.partial(_exp_kernel, spec, l_pad, e)
+    bits = _exp_bits(e)
+    nbits = bits.shape[0]
+    kern = functools.partial(_exp_kernel, spec, l_pad, nbits)
     bs = pl.BlockSpec((l_pad, LANES), lambda: (0, 0),
                       memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((l_pad, LANES), jnp.int32),
-        in_specs=[bs, bs, bs],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), bs, bs, bs],
         out_specs=bs,
         interpret=interpret,
-    )(xt, jnp.asarray(onet), jnp.asarray(qt))
+    )(jnp.asarray(bits), xt, jnp.asarray(onet), jnp.asarray(qt))
     return out[:L, :n].T
 
 

@@ -229,11 +229,11 @@ def _fold_kernel(spec: FieldSpec, l_pad: int, a_is_zero: bool,
     acc = (lane_bcast(x, nwin - 1), lane_bcast(y, nwin - 1),
            lane_bcast(z, nwin - 1))
 
+    def dbl_once(_, acc):
+        return _dbl_core(mul, add2, sub2, dbl, a_is_zero, a_tile, *acc)
+
     def body(i, acc):
-        ax, ay, az = acc
-        for _ in range(c):
-            ax, ay, az = _dbl_core(mul, add2, sub2, dbl, a_is_zero,
-                                   a_tile, ax, ay, az)
+        ax, ay, az = jax.lax.fori_loop(0, c, dbl_once, acc)
         w = nwin - 2 - i
         tx, ty, tz = lane_bcast(x, w), lane_bcast(y, w), lane_bcast(z, w)
         return _add_core(spec, l_pad, a_is_zero, a_tile, q_col,

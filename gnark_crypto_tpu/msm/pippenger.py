@@ -116,6 +116,17 @@ def _sel2(f, cond, a: Affine, b: Affine) -> Affine:
     return Affine(f.where(cond, a.x, b.x), f.where(cond, a.y, b.y))
 
 
+def _pair_split(x):
+    """(2k, ...) -> even/odd halves via reshape + static index.
+
+    NEVER use ``x[0::2]`` on TPU for this: XLA lowers the stride-2 slice as
+    a gather (~9x slower than the reshape form — 102 ms vs 12 ms for an
+    int32 (2^21, 22) array on the bench chip)."""
+    k = x.shape[0] // 2
+    v = x.reshape(k, 2, *x.shape[1:])
+    return v[:, 0], v[:, 1]
+
+
 def _log_batch_inverse(f, d):
     """Montgomery-trick batch inversion with log-depth tree scans.
 
@@ -133,11 +144,11 @@ def _log_batch_inverse(f, d):
                          d, pad)
     levels = [d]
     while f.eshape(levels[-1])[0] > 1:
-        cur = levels[-1]
-        levels.append(f.mul(cur[0::2], cur[1::2]))
+        ev, od = _pair_split(levels[-1])
+        levels.append(f.mul(ev, od))
     inv = f.inverse(levels[-1])
     for cur in levels[-2::-1]:
-        a, b = cur[0::2], cur[1::2]
+        a, b = _pair_split(cur)
         ia = f.mul(inv, b)
         ib = f.mul(inv, a)
         half = ia.shape[0]
@@ -256,13 +267,15 @@ def _bucket_accumulate_affine(curve: Curve, points: Affine, mag, neg,
     single = jnp.ones((m,), bool)  # node spans a single digit-run
     bot = _bot_width()
     while f.eshape(pre.x)[0] > bot:
-        l_pre = Affine(pre.x[0::2], pre.y[0::2])
-        l_suf = Affine(suf.x[0::2], suf.y[0::2])
-        r_pre = Affine(pre.x[1::2], pre.y[1::2])
-        r_suf = Affine(suf.x[1::2], suf.y[1::2])
-        l_pre_d, l_suf_d = pre_d[0::2], suf_d[0::2]
-        r_pre_d, r_suf_d = pre_d[1::2], suf_d[1::2]
-        l_single, r_single = single[0::2], single[1::2]
+        pre_xe, pre_xo = _pair_split(pre.x)
+        pre_ye, pre_yo = _pair_split(pre.y)
+        suf_xe, suf_xo = _pair_split(suf.x)
+        suf_ye, suf_yo = _pair_split(suf.y)
+        l_pre, r_pre = Affine(pre_xe, pre_ye), Affine(pre_xo, pre_yo)
+        l_suf, r_suf = Affine(suf_xe, suf_ye), Affine(suf_xo, suf_yo)
+        l_pre_d, r_pre_d = _pair_split(pre_d)
+        l_suf_d, r_suf_d = _pair_split(suf_d)
+        l_single, r_single = _pair_split(single)
 
         mid = _affine_add_complete(curve, l_suf, r_pre)
         eq = l_suf_d == r_pre_d
@@ -419,6 +432,37 @@ def _tree_sum(curve: Curve, p: Jac, axis: int):
     return Jac(*jax.tree.map(lambda a: jnp.squeeze(a, axis), p))
 
 
+def _strided_scan_add(curve: Curve, p: Jac, S: int, suffix: bool):
+    """Log-depth strided reductions on a flat (nwin*S, ...) Jac batch as ONE
+    constant-shape lax.scan (the unrolled per-level loops cost a fresh
+    Mosaic/XLA compile per level; the scan body compiles once and keeps one
+    jac_add kernel shape for the whole sweep).
+
+    suffix=False: in-window pairwise tree sum — after log2(S) steps the
+    window total sits at each window's slot 0.
+    suffix=True: in-window Hillis-Steele inclusive suffix sums
+    (out[k] = sum_{j>=k} p[j]).
+    """
+    f = curve.fp
+    n = f.eshape(p.x)[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    def step(carry, s):
+        cur = Jac(*carry)
+        shifted = Jac(*(jnp.roll(a, -s, axis=0) for a in cur))
+        added = curve.add(cur, shifted)
+        if suffix:
+            valid = (iota % S) + s < S
+        else:
+            valid = ((iota & (2 * s - 1)) == 0) & ((iota % S) + s < S)
+        return tuple(_sel(f, valid, added, cur)), None
+
+    strides = jnp.asarray([1 << j for j in range((S - 1).bit_length())],
+                          jnp.int32)
+    out, _ = lax.scan(step, tuple(p), strides)
+    return Jac(*out)
+
+
 def _weighted_sweep(curve: Curve, buckets: Jac, c: int,
                     n_chunks: int = 128):
     """buckets (nwin, half+1, ...) -> window totals sum_j j*B_j (nwin, ...).
@@ -432,9 +476,11 @@ def _weighted_sweep(curve: Curve, buckets: Jac, c: int,
 
         sum_j j*B_j = sum_k T_k + m * sum_k k*C_k
 
-    sum_k T_k is a log-depth tree sum; sum_k k*C_k reuses the identity
-    sum_k k*C_k = sum_{k>=1} suffix_k (suffix_k = sum_{j>=k} C_j), computed
-    with a log-depth Hillis-Steele suffix scan; m*X is log2(m) doublings.
+    sum_k T_k is a log-depth strided tree sum; sum_k k*C_k reuses the
+    identity sum_k k*C_k = sum_{k>=1} suffix_k (suffix_k = sum_{j>=k} C_j),
+    computed with a log-depth Hillis-Steele suffix scan; m*X is log2(m)
+    doublings. Every reduction runs flat at (nwin*S) width so the whole
+    sweep uses one fused point-add kernel shape.
     """
     f = curve.fp
     half = 1 << (c - 1)
@@ -456,26 +502,20 @@ def _weighted_sweep(curve: Curve, buckets: Jac, c: int,
 
     (c_k, t_k), _ = lax.scan(body, (s0, s0), tuple(rev))
 
-    t_k = jax.tree.map(lambda a: a.reshape(nwin, S, *a.shape[1:]), t_k)
-    sum_t = _tree_sum(curve, Jac(*t_k), axis=1)
+    def window_slot0(p):
+        return Jac(*(a.reshape(nwin, S, *a.shape[1:])[:, 0] for a in p))
+
+    sum_t = window_slot0(_strided_scan_add(curve, t_k, S, suffix=False))
     if S == 1:
         return sum_t
 
-    # suffix scan over chunks: suffix_k = sum_{j >= k} C_j
-    suf = jax.tree.map(lambda a: a.reshape(nwin, S, *a.shape[1:]), c_k)
-    stride = 1
-    while stride < S:
-        shifted = jax.tree.map(
-            lambda a: jnp.concatenate(
-                [a[:, stride:],
-                 jnp.zeros_like(a[:, :stride])], axis=1), suf)
-        added = curve.add(Jac(*suf), Jac(*shifted))
-        # entries past the end stay as-is (their shifted operand is the
-        # all-zero infinity encoding, which curve.add already absorbs)
-        suf = added
-        stride *= 2
-    # sum_k k*C_k = sum_{k=1..S-1} suffix_k
-    w = _tree_sum(curve, Jac(*jax.tree.map(lambda a: a[:, 1:], suf)), axis=1)
+    # suffix scan over chunks: suffix_k = sum_{j >= k} C_j, then
+    # sum_k k*C_k = sum_{k=1..S-1} suffix_k (zero out each window's k=0)
+    suf = _strided_scan_add(curve, c_k, S, suffix=True)
+    iota = jnp.arange(nwin * S, dtype=jnp.int32)
+    k0 = (iota % S) == 0
+    suf = _sel(f, k0, curve.inf_jac((nwin * S,)), suf)
+    w = window_slot0(_strided_scan_add(curve, suf, S, suffix=False))
     for _ in range(m.bit_length() - 1):  # * m (power of two)
         w = curve.double(w)
     return curve.add(sum_t, w)
