@@ -28,6 +28,18 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 GNARK_FFT_2_20_ELEMS_PER_SEC = 5.2e7  # documented anchor, see docstring
 
+# Global wall-clock budget: the persistent compile cache does NOT hit on
+# the axon backend (entries are written but never read back), so every
+# bench run pays full compiles. Extras are skipped once the deadline is
+# close so the primary-metric JSON line ALWAYS prints within the driver's
+# timeout.
+_T0 = time.time()
+DEADLINE_S = float(os.environ.get("GNARK_BENCH_DEADLINE_S", "2700"))
+
+
+def _time_left() -> float:
+    return DEADLINE_S - (time.time() - _T0)
+
 
 def _enable_cache():
     import jax
@@ -62,23 +74,26 @@ def _ntt_once(n, iters):
 
 
 def bench_ntt(n=1 << 20, iters=10):
-    """Self-tuning: measures the radix-4 fused four-step (the default) and
-    the radix-2 fallback, reports the faster one."""
+    """Radix-4 fused four-step (the measured-best default: 14.45 ms vs
+    17.85 ms radix-2 at 2^20, 2026-08-19 bench chip). The radix-2 variant
+    is only measured when spare time remains — the compile cache never
+    hits on this backend, so each variant costs its full compile."""
     import jax
 
     results = {}
     rate, dt = _ntt_once(n, iters)
     results["r4"] = (rate, dt)
-    try:
-        os.environ["GNARK_NTT_RADIX4"] = "0"
-        jax.clear_caches()
-        rate2, dt2 = _ntt_once(n, iters)
-        results["r2"] = (rate2, dt2)
-    except Exception:
-        pass
-    finally:
-        os.environ.pop("GNARK_NTT_RADIX4", None)
-        jax.clear_caches()
+    if _time_left() > DEADLINE_S * 0.55:
+        try:
+            os.environ["GNARK_NTT_RADIX4"] = "0"
+            jax.clear_caches()
+            rate2, dt2 = _ntt_once(n, iters)
+            results["r2"] = (rate2, dt2)
+        except Exception:
+            pass
+        finally:
+            os.environ.pop("GNARK_NTT_RADIX4", None)
+            jax.clear_caches()
     best = max(results.values())
     best_name = [k for k, v in results.items() if v == best][0]
     return best + (best_name, results)
@@ -159,8 +174,14 @@ def bench_msm(n=1 << 16, iters=4):
     return n / dt, dt
 
 
-def bench_pairing(batch=64, iters=4):
-    """bn254 full pairing throughput, batched lanes (pairing_test.go:538)."""
+def bench_pairing(batch=2048, iters=2):
+    """bn254 full pairing throughput, batched lanes (pairing_test.go:538).
+
+    Runs the EAGER path (host-dispatched Miller/final-exp step kernels):
+    jitting the whole pairing OOM-kills the remote TPU compile helper
+    (tpu_compile_helper SIGKILL on the Miller lax.scan). Eager execution
+    is dispatch-latency-bound (~1500 round trips), so a large batch
+    amortizes it."""
     import jax
     from gnark_crypto_tpu.curve.g2 import g2_curve
     from gnark_crypto_tpu.curve.jacobian import Affine, curve_ops
@@ -173,18 +194,17 @@ def bench_pairing(batch=64, iters=4):
     gq = g2.generator_affine()
     P = Affine(g1.fp.broadcast_to(gp.x, (batch,)),
                g1.fp.broadcast_to(gp.y, (batch,)))
-    Q = Affine(g2.fp.broadcast_to(gq.x, (batch,)),
-               g2.fp.broadcast_to(gq.y, (batch,)))
-    fn = jax.jit(lambda px, py, qx, qy: pairing12.pair(
-        "bn254", Affine(px, py), qx, qy))
+    QX = g2.fp.broadcast_to(gq.x, (batch,))
+    QY = g2.fp.broadcast_to(gq.y, (batch,))
+
     def sync(v):
-        np.asarray(jax.tree.leaves(v)[0][:1])  # D2H forces completion
-    r = fn(P.x, P.y, Q.x, Q.y)
+        np.asarray(jax.tree.leaves(v)[0].ravel()[:1])
+    r = pairing12.pair("bn254", P, QX, QY)   # eager: compiles step kernels
     sync(r)
     t0 = time.perf_counter()
     for _ in range(iters):
-        r = fn(P.x, P.y, Q.x, Q.y)
-    sync(r)
+        r = pairing12.pair("bn254", P, QX, QY)
+        sync(r)
     dt = (time.perf_counter() - t0) / iters
     return batch / dt, dt
 
@@ -219,10 +239,15 @@ def main():
     extra["bn254_ntt_variant"] = ntt_variant
     for name, (_, vdt) in ntt_all.items():
         extra[f"bn254_ntt_{name}_ms"] = round(vdt * 1e3, 2)
-    for key, fn in [("koalabear_ntt_2^20", bench_f31_ntt),
-                    ("bn254_g1_msm_2^16", bench_msm),
-                    ("bn254_pairing_x64", bench_pairing),
-                    ("koalabear_poseidon2_16_2^16", bench_poseidon2)]:
+    # (name, fn, rough compile budget needed to even start it)
+    for key, fn, need in [("koalabear_ntt_2^20", bench_f31_ntt, 120),
+                          ("bn254_g1_msm_2^16", bench_msm, 400),
+                          ("bn254_pairing_x2048", bench_pairing, 700),
+                          ("koalabear_poseidon2_16_2^16", bench_poseidon2,
+                           60)]:
+        if _time_left() < need:
+            extra[key + "_skipped"] = f"deadline ({round(_time_left())}s left)"
+            continue
         try:
             rate, dt = fn()
             extra[key + "_per_sec"] = round(rate)
