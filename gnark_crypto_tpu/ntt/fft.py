@@ -262,3 +262,22 @@ def make_fft_fn(domain: Domain, decimation: Decimation = DIF,
     if inverse:
         return jax.jit(lambda a: fft_inverse(domain, a, decimation, coset))
     return jax.jit(lambda a: fft(domain, a, decimation, coset))
+
+
+def fft_batch(domain: Domain, a: jax.Array, decimation: Decimation = DIF,
+              coset: bool = False, inverse: bool = False) -> jax.Array:
+    """Transform a batch of B polynomials along axis 1.
+
+    ``a``: (B, n) for 31-bit engines, (B, n, L) for multi-limb engines —
+    the layout of the reference's per-polynomial ``domain.FFT`` calls in a
+    loop (iop/quotient pipelines transform dozens of polynomials per
+    proof). On TPU each row dispatches through the Pallas pipeline (the
+    per-row programs are compiled once and reused); elsewhere the rows are
+    vmapped into one fused program.
+    """
+    fn = fft_inverse if inverse else fft
+    if jax.default_backend() == "tpu":
+        rows = [fn(domain, a[i], decimation, coset)
+                for i in range(a.shape[0])]
+        return jnp.stack(rows, axis=0)
+    return jax.vmap(lambda v: fn(domain, v, decimation, coset))(a)

@@ -134,3 +134,32 @@ def test_domain_serialization_gnark_wire_format():
     bad[8 + nb] ^= 1
     with pytest.raises(ValueError):
         domain_from_bytes(spec, bytes(bad))
+
+
+def test_fft_batch_rows_matches_per_row():
+    """fft_batch (vmapped rows) vs per-row fft, both engines."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gnark_crypto_tpu.ntt import fft as fftm
+    from gnark_crypto_tpu.ntt.domain import Domain
+    from gnark_crypto_tpu.specs import field as fs
+
+    rng = np.random.default_rng(11)
+    for spec, shape in ((fs.BN254_FR, (3, 64, fs.BN254_FR.n_limbs)),
+                        (fs.KOALABEAR, (3, 64))):
+        dom = Domain(spec, 64, with_coset=True)
+        if spec.n_limbs == 1:
+            a = jnp.asarray(rng.integers(0, spec.modulus, size=shape,
+                                         dtype=np.uint32))
+        else:  # canonical (< q) elements — the transform contract
+            from gnark_crypto_tpu.field import mont
+            B, n = shape[0], shape[1]
+            vals = [int(rng.integers(0, 1 << 62)) for _ in range(B * n)]
+            a = mont.from_int(spec, vals).reshape(B, n, spec.n_limbs)
+        got = fftm.fft_batch(dom, a, fftm.DIF, coset=True)
+        exp = jnp.stack([fftm.fft(dom, a[i], fftm.DIF, coset=True)
+                         for i in range(a.shape[0])])
+        assert np.array_equal(np.asarray(got), np.asarray(exp)), spec.name
+        gi = fftm.fft_batch(dom, got, fftm.DIT, coset=True, inverse=True)
+        assert np.array_equal(np.asarray(gi), np.asarray(a)), spec.name
