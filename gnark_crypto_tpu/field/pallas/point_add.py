@@ -205,6 +205,171 @@ def jac_double(spec: FieldSpec, a_int: int, x1, y1, z1,
     return _launch(spec, a_int, _dbl_kernel, (x1, y1, z1), interpret)
 
 
+# -- fused batch-affine tree-level kernels ------------------------------------
+# One MSM accumulator level = a complete masked affine add (batchAddG1Affine
+# g1.go:1396) split around the XLA batch inversion: kernel 1 computes the
+# shared denominator/numerator and the completeness mask bits; kernel 2
+# finishes the add and applies the tree's select logic — replacing ~7
+# separate Montgomery-mul dispatches and ~10 full-width selects per level.
+
+_MB_DBL, _MB_INFOUT, _MB_PINF, _MB_QINF = 1, 2, 4, 8
+
+
+def _prep_kernel(spec: FieldSpec, l_pad: int, a_is_zero: bool,
+                 pxr, pyr, qxr, qyr, qr, ar, oner,
+                 denr, numr, mr):
+    q_col = qr[:]
+    mul, add2, sub2, dbl = _field_ops(spec, l_pad, q_col)
+    px, py = pxr[:], pyr[:]
+    qx, qy = qxr[:], qyr[:]
+    p_inf = _is_zero_row(px) & _is_zero_row(py)
+    q_inf = _is_zero_row(qx) & _is_zero_row(qy)
+    both = (~p_inf) & (~q_inf)
+    x_eq = _is_zero_row(px ^ qx)
+    y_eq = _is_zero_row(py ^ qy)
+    is_dbl = x_eq & y_eq & both
+    inf_out = (x_eq & (~y_eq) & both) | (is_dbl & _is_zero_row(py))
+    den = _sel(is_dbl, dbl(py), sub2(qx, px))
+    den = _sel(_is_zero_row(den), oner[:], den)
+    x2 = mul(px, px)
+    num_dbl = add2(dbl(x2), x2)
+    if not a_is_zero:
+        num_dbl = add2(num_dbl, ar[:])
+    num = _sel(is_dbl, num_dbl, sub2(qy, py))
+    denr[:] = den
+    numr[:] = num
+    bits = (is_dbl * _MB_DBL + inf_out * _MB_INFOUT
+            + p_inf * _MB_PINF + q_inf * _MB_QINF)
+    mr[:] = jnp.broadcast_to(bits[None, :].astype(jnp.int32),
+                             mr.shape)
+
+
+def _finish_kernel(spec: FieldSpec, l_pad: int,
+                   lpxr, lpyr, lsxr, lsyr, rpxr, rpyr, rsxr, rsyr,
+                   numr, dinvr, mr, tmr, qr, oner,
+                   oprex, oprey, osufx, osufy, optax, optay, ozar):
+    q_col = qr[:]
+    mul, add2, sub2, dbl = _field_ops(spec, l_pad, q_col)
+    px, py = lsxr[:], lsyr[:]          # p = l_suf
+    qx, qy = rpxr[:], rpyr[:]          # q = r_pre
+    bits = mr[0, :]
+    is_dbl = (bits & _MB_DBL) != 0
+    inf_out = (bits & _MB_INFOUT) != 0
+    p_inf = (bits & _MB_PINF) != 0
+    q_inf = (bits & _MB_QINF) != 0
+
+    s = mul(numr[:], dinvr[:])
+    x3 = sub2(sub2(mul(s, s), px), qx)
+    y3 = sub2(mul(s, sub2(px, x3)), py)
+    zero = px ^ px
+    mx = _sel(inf_out, zero, x3)
+    my = _sel(inf_out, zero, y3)
+    mx, my = _sel(p_inf, qx, mx), _sel(p_inf, qy, my)
+    mx, my = _sel(q_inf, px, mx), _sel(q_inf, py, my)  # mid = l_suf+r_pre
+
+    tbits = tmr[0, :]
+    eq = (tbits & 1) != 0
+    l_single = (tbits & 2) != 0
+    r_single = (tbits & 4) != 0
+
+    pax = _sel(eq, mx, px)             # pt_a = eq ? mid : l_suf
+    pay = _sel(eq, my, py)
+    optax[:] = pax
+    optay[:] = pay
+    ozar[:] = _sel(_is_zero_row(pax) & _is_zero_row(pay), zero, oner[:])
+    oprex[:] = _sel(l_single & eq, mx, lpxr[:])
+    oprey[:] = _sel(l_single & eq, my, lpyr[:])
+    osufx[:] = _sel(r_single & eq, mx, rsxr[:])
+    osufy[:] = _sel(r_single & eq, my, rsyr[:])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 6))
+def affine_prep(spec: FieldSpec, a_int: int, px, py, qx, qy,
+                interpret: bool = False):
+    """(den, num, maskbits) for a complete affine add batch; (N, L) in,
+    den/num (N, L) + maskbits (N,) int32 out."""
+    n, L = px.shape
+    l_pad = _round_up(max(L, 8), 8)
+    n_pad = _round_up(n, TILE)
+
+    def tr(a):
+        return jnp.zeros((l_pad, n_pad), jnp.int32).at[:L, :n].set(a.T)
+
+    qt, at = _q_a_tiles(spec, l_pad, a_int)
+    onet = jnp.asarray(_one_tile(spec, l_pad))
+    kern = functools.partial(_prep_kernel, spec, l_pad, a_int == 0)
+    bs = pl.BlockSpec((l_pad, TILE), lambda i: (0, i),
+                      memory_space=pltpu.VMEM)
+    cs2 = pl.BlockSpec((l_pad, TILE), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM)
+    ms = pl.BlockSpec((8, TILE), lambda i: (0, i),
+                      memory_space=pltpu.VMEM)
+    den, num, mb = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((l_pad, n_pad), jnp.int32),
+                   jax.ShapeDtypeStruct((l_pad, n_pad), jnp.int32),
+                   jax.ShapeDtypeStruct((8, n_pad), jnp.int32)],
+        grid=(n_pad // TILE,),
+        in_specs=[bs] * 4 + [cs2] * 3,
+        out_specs=[bs, bs, ms],
+        interpret=interpret,
+    )(tr(px), tr(py), tr(qx), tr(qy), jnp.asarray(qt), jnp.asarray(at),
+      onet)
+    return den[:L, :n].T, num[:L, :n].T, mb[0, :n]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 14))
+def affine_finish(spec: FieldSpec, a_int: int,
+                  lpx, lpy, lsx, lsy, rpx, rpy, rsx, rsy,
+                  num, dinv, maskbits, treebits,
+                  interpret: bool = False):
+    """Finish the fused tree level: returns (pre_x, pre_y, suf_x, suf_y,
+    pta_x, pta_y, z_a), all (N, L) except z_a (N, L) Jacobian-z limbs."""
+    n, L = lpx.shape
+    l_pad = _round_up(max(L, 8), 8)
+    n_pad = _round_up(n, TILE)
+
+    def tr(a):
+        return jnp.zeros((l_pad, n_pad), jnp.int32).at[:L, :n].set(a.T)
+
+    def trm(b):
+        return (jnp.zeros((8, n_pad), jnp.int32)
+                .at[:, :n].set(jnp.broadcast_to(
+                    b.astype(jnp.int32)[None, :], (8, n))))
+
+    qt, _at = _q_a_tiles(spec, l_pad, a_int)
+    onet = jnp.asarray(_one_tile(spec, l_pad))
+    kern = functools.partial(_finish_kernel, spec, l_pad)
+    bs = pl.BlockSpec((l_pad, TILE), lambda i: (0, i),
+                      memory_space=pltpu.VMEM)
+    cs2 = pl.BlockSpec((l_pad, TILE), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM)
+    ms = pl.BlockSpec((8, TILE), lambda i: (0, i),
+                      memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((l_pad, n_pad), jnp.int32)] * 7,
+        grid=(n_pad // TILE,),
+        in_specs=[bs] * 10 + [ms, ms] + [cs2, cs2],
+        out_specs=[bs] * 7,
+        interpret=interpret,
+    )(tr(lpx), tr(lpy), tr(lsx), tr(lsy), tr(rpx), tr(rpy), tr(rsx),
+      tr(rsy), tr(num), tr(dinv), trm(maskbits), trm(treebits),
+      jnp.asarray(qt), onet)
+    return tuple(o[:L, :n].T for o in outs)
+
+
+@functools.lru_cache(maxsize=None)
+def _one_tile(spec: FieldSpec, l_pad: int):
+    # numpy, NOT jnp: a jnp array materialized inside a jit trace would be
+    # cached as a leaked tracer (same convention as _q_a_tiles)
+    one = np.asarray(
+        tuple(int_to_limbs(spec.r % spec.modulus, spec.limb_bits,
+                           spec.n_limbs))
+        + (0,) * (l_pad - spec.n_limbs), dtype=np.int32)[:, None]
+    return np.broadcast_to(one, (l_pad, TILE)).copy()
+
+
 # -- in-kernel Horner window fold --------------------------------------------
 
 def _fold_kernel(spec: FieldSpec, l_pad: int, a_is_zero: bool,

@@ -272,6 +272,9 @@ def _bucket_accumulate_affine(curve: Curve, points: Affine, mag, neg,
     pre_d = suf_d = key_s
     single = jnp.ones((m,), bool)  # node spans a single digit-run
     bot = _bot_width()
+    fused = (curve._pallas_ok and jax.default_backend() == "tpu"
+             and not os.environ.get("GNARK_TPU_NO_PALLAS_POINT")
+             and px.ndim == 2)
     while f.eshape(pre.x)[0] > bot:
         pre_xe, pre_xo = _pair_split(pre.x)
         pre_ye, pre_yo = _pair_split(pre.y)
@@ -283,17 +286,42 @@ def _bucket_accumulate_affine(curve: Curve, points: Affine, mag, neg,
         l_suf_d, r_suf_d = _pair_split(suf_d)
         l_single, r_single = _pair_split(single)
 
-        mid = _affine_add_complete(curve, l_suf, r_pre)
         eq = l_suf_d == r_pre_d
-        # interior-run completions -> buckets
         emit_a = (~l_single) & ((~eq) | (~r_single))
-        pt_a = _sel2(f, eq, mid, l_suf)
-        buckets = scatter(buckets, emit_a, curve.from_affine(pt_a), l_suf_d)
         emit_b = (~eq) & (~r_single)
-        buckets = scatter(buckets, emit_b, curve.from_affine(r_pre), r_pre_d)
-        # new node
-        pre = _sel2(f, l_single & eq, mid, l_pre)
-        suf = _sel2(f, r_single & eq, mid, r_suf)
+        if fused:
+            # fused level kernels (field/pallas/point_add.py): one prep
+            # kernel (den/num/masks) + the shared inversion + one finish
+            # kernel (slope, outputs, tree selects) instead of ~7 mul
+            # dispatches and ~10 full-width selects
+            from gnark_crypto_tpu.field.pallas.point_add import (
+                affine_finish, affine_prep)
+            den, num, mbits = affine_prep(curve.spec.fp, curve.spec.a,
+                                          l_suf.x, l_suf.y,
+                                          r_pre.x, r_pre.y)
+            dinv = _log_batch_inverse(f, den)
+            tb = (eq.astype(jnp.int32) + (l_single.astype(jnp.int32) << 1)
+                  + (r_single.astype(jnp.int32) << 2))
+            (prex, prey, sufx, sufy, pax, pay, za) = affine_finish(
+                curve.spec.fp, curve.spec.a,
+                l_pre.x, l_pre.y, l_suf.x, l_suf.y,
+                r_pre.x, r_pre.y, r_suf.x, r_suf.y,
+                num, dinv, mbits, tb)
+            buckets = scatter(buckets, emit_a, Jac(pax, pay, za), l_suf_d)
+            buckets = scatter(buckets, emit_b, curve.from_affine(r_pre),
+                              r_pre_d)
+            pre, suf = Affine(prex, prey), Affine(sufx, sufy)
+        else:
+            mid = _affine_add_complete(curve, l_suf, r_pre)
+            # interior-run completions -> buckets
+            pt_a = _sel2(f, eq, mid, l_suf)
+            buckets = scatter(buckets, emit_a, curve.from_affine(pt_a),
+                              l_suf_d)
+            buckets = scatter(buckets, emit_b, curve.from_affine(r_pre),
+                              r_pre_d)
+            # new node
+            pre = _sel2(f, l_single & eq, mid, l_pre)
+            suf = _sel2(f, r_single & eq, mid, r_suf)
         pre_d, suf_d = l_pre_d, r_suf_d
         single = l_single & r_single & eq
 

@@ -138,3 +138,62 @@ def test_window_totals_matches_bucket_oracle():
                 acc = curve.add(acc, bucket)
         got = Jac(*jax.tree.map(lambda a: a[w], totals))
         assert bool(curve.eq_jac(got, acc)), w
+
+
+def test_fused_level_kernels_match_xla_level():
+    """affine_prep + affine_finish (interpret mode) vs the XLA level body
+    (the complete affine add + tree selects) on edge-case-rich inputs."""
+    from gnark_crypto_tpu.field.pallas.point_add import (affine_finish,
+                                                         affine_prep)
+    from tests.test_curve_g1 import pts_to_device, rand_points
+
+    curve = curve_ops(cs.get_curve("bn254_g1"))
+    f = curve.fp
+    p = curve.spec.fp.modulus
+    base = rand_points(curve, 6, 41)
+    # l_suf + r_pre covering add / dbl / inverse / infinities
+    ls_pts = base[:4] + [base[0], base[1], None, base[2], None, base[3]]
+    rp_pts = base[2:6] + [base[0], (base[1][0], (-base[1][1]) % p),
+                          base[4], None, None, base[3]]
+    n = len(ls_pts)
+    lp_pts = rand_points(curve, n, 42)
+    rs_pts = rand_points(curve, n, 43)
+    l_pre = pts_to_device(curve, lp_pts)
+    l_suf = pts_to_device(curve, ls_pts)
+    r_pre = pts_to_device(curve, rp_pts)
+    r_suf = pts_to_device(curve, rs_pts)
+
+    rng = np.random.default_rng(44)
+    eq = jnp.asarray(rng.integers(0, 2, size=(n,)) == 1)
+    l_single = jnp.asarray(rng.integers(0, 2, size=(n,)) == 1)
+    r_single = jnp.asarray(rng.integers(0, 2, size=(n,)) == 1)
+
+    # ---- oracle: the XLA level body
+    mid = pp._affine_add_complete(curve, l_suf, r_pre)
+    pt_a = pp._sel2(f, eq, mid, l_suf)
+    exp_pre = pp._sel2(f, l_single & eq, mid, l_pre)
+    exp_suf = pp._sel2(f, r_single & eq, mid, r_suf)
+    exp_za = f.where(curve.is_inf_affine(pt_a), f.zeros((n,)),
+                     f.broadcast_to(f.ones(), (n,)))
+
+    # ---- fused kernels (interpret)
+    den, num, mbits = affine_prep(curve.spec.fp, curve.spec.a,
+                                  l_suf.x, l_suf.y, r_pre.x, r_pre.y,
+                                  interpret=True)
+    dinv = pp._log_batch_inverse(f, den)
+    tb = (eq.astype(jnp.int32) + (l_single.astype(jnp.int32) << 1)
+          + (r_single.astype(jnp.int32) << 2))
+    prex, prey, sufx, sufy, pax, pay, za = affine_finish(
+        curve.spec.fp, curve.spec.a,
+        l_pre.x, l_pre.y, l_suf.x, l_suf.y,
+        r_pre.x, r_pre.y, r_suf.x, r_suf.y,
+        num, dinv, mbits, tb, interpret=True)
+
+    for name, got, exp in [("pre.x", prex, exp_pre.x),
+                           ("pre.y", prey, exp_pre.y),
+                           ("suf.x", sufx, exp_suf.x),
+                           ("suf.y", sufy, exp_suf.y),
+                           ("pta.x", pax, pt_a.x),
+                           ("pta.y", pay, pt_a.y),
+                           ("z_a", za, exp_za)]:
+        assert np.array_equal(np.asarray(got), np.asarray(exp)), name
