@@ -76,27 +76,10 @@ def _ntt_once(n, iters):
 def bench_ntt(n=1 << 20, iters=10):
     """Radix-4 fused four-step (the measured-best default: 14.45 ms vs
     17.85 ms radix-2 at 2^20, 2026-08-19 bench chip). The radix-2 variant
-    is only measured when spare time remains — the compile cache never
-    hits on this backend, so each variant costs its full compile."""
-    import jax
-
-    results = {}
+    is NOT re-measured here — the compile cache never hits on this
+    backend, and the primary metric must print as early as possible."""
     rate, dt = _ntt_once(n, iters)
-    results["r4"] = (rate, dt)
-    if _time_left() > DEADLINE_S * 0.55:
-        try:
-            os.environ["GNARK_NTT_RADIX4"] = "0"
-            jax.clear_caches()
-            rate2, dt2 = _ntt_once(n, iters)
-            results["r2"] = (rate2, dt2)
-        except Exception:
-            pass
-        finally:
-            os.environ.pop("GNARK_NTT_RADIX4", None)
-            jax.clear_caches()
-    best = max(results.values())
-    best_name = [k for k, v in results.items() if v == best][0]
-    return best + (best_name, results)
+    return rate, dt, "r4", {"r4": (rate, dt)}
 
 
 def _f31_ntt_once(n, iters):
@@ -231,7 +214,51 @@ def bench_poseidon2(n=1 << 16, iters=10):
     return n / dt, dt
 
 
+_LAST_RESULT = None  # best-known result line, printed by the watchdog
+
+
+def _emit(ntt_rate, extra):
+    """Print (and remember) the driver JSON line. Called as soon as the
+    primary metric exists and again after each extra completes — if the
+    driver's timeout kills us mid-extras, the last complete line already
+    carries everything measured so far (round-2 lesson: the driver bench
+    run hit rc=124 with NOTHING printed)."""
+    global _LAST_RESULT
+    import sys
+    _LAST_RESULT = json.dumps({
+        "metric": "bn254_fr_ntt_2^20_elems_per_sec",
+        "value": round(ntt_rate),
+        "unit": "elems/s",
+        "vs_baseline": round(ntt_rate / GNARK_FFT_2_20_ELEMS_PER_SEC, 3),
+        "extra": dict(extra),
+    })
+    print(_LAST_RESULT, flush=True)
+    sys.stdout.flush()
+
+
+def _start_watchdog():
+    """Hard exit at the deadline: re-print the best-known line and die.
+    Guards against a wedged TPU dispatch hanging past the driver timeout."""
+    import threading
+
+    def fire():
+        if _LAST_RESULT is not None:
+            print(_LAST_RESULT, flush=True)
+        else:
+            print(json.dumps({
+                "metric": "bn254_fr_ntt_2^20_elems_per_sec", "value": 0,
+                "unit": "elems/s", "vs_baseline": 0.0,
+                "extra": {"error": "watchdog: deadline before first metric"},
+            }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(max(DEADLINE_S - 10.0, 30.0), fire)
+    t.daemon = True
+    t.start()
+
+
 def main():
+    _start_watchdog()
     _enable_cache()
     extra = {}
     ntt_rate, ntt_dt, ntt_variant, ntt_all = bench_ntt()
@@ -239,10 +266,11 @@ def main():
     extra["bn254_ntt_variant"] = ntt_variant
     for name, (_, vdt) in ntt_all.items():
         extra[f"bn254_ntt_{name}_ms"] = round(vdt * 1e3, 2)
+    _emit(ntt_rate, extra)  # primary metric is safe from here on
     # (name, fn, rough compile budget needed to even start it)
     for key, fn, need in [("koalabear_ntt_2^20", bench_f31_ntt, 120),
                           ("bn254_g1_msm_2^16", bench_msm, 400),
-                          ("bn254_pairing_x2048", bench_pairing, 700),
+                          ("bn254_pairing_x2048", bench_pairing, 500),
                           ("koalabear_poseidon2_16_2^16", bench_poseidon2,
                            60)]:
         if _time_left() < need:
@@ -254,13 +282,8 @@ def main():
             extra[key + "_ms"] = round(dt * 1e3, 2)
         except Exception as e:  # never lose the primary metric
             extra[key + "_error"] = repr(e)[:120]
-    print(json.dumps({
-        "metric": "bn254_fr_ntt_2^20_elems_per_sec",
-        "value": round(ntt_rate),
-        "unit": "elems/s",
-        "vs_baseline": round(ntt_rate / GNARK_FFT_2_20_ELEMS_PER_SEC, 3),
-        "extra": extra,
-    }))
+        _emit(ntt_rate, extra)
+    _emit(ntt_rate, extra)
 
 
 if __name__ == "__main__":
