@@ -144,7 +144,13 @@ def _log_batch_inverse(f, d):
         d = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0),
                          d, pad)
     levels = [d]
-    while f.eshape(levels[-1])[0] > 1:
+    # Stop the tree once a single Pallas Fermat-ladder tile can finish the
+    # job per-lane (field.mont.inverse routes n <= 128 into one in-VMEM
+    # kernel): sweeping all the way to width 1 costs ~14 extra halving-
+    # width mul dispatches (~10 ms of pure dispatch latency per inversion
+    # through the tunnel) for no compute savings.
+    stop_w = 128 if jax.default_backend() == "tpu" else 1
+    while f.eshape(levels[-1])[0] > stop_w:
         ev, od = _pair_split(levels[-1])
         levels.append(f.mul(ev, od))
     inv = f.inverse(levels[-1])

@@ -53,10 +53,12 @@ class G2Proj(NamedTuple):
 class PairingCtx:
     """Per-curve pairing context (seed, loop counter, twist constants)."""
 
-    def __init__(self, name: str):
+    def __init__(self, name: str, tower=None):
+        """``tower``: inject an alternative tower implementation (e.g. the
+        symbolic program-emitting SymTower12) in place of the device one."""
         self.name = name
         if name == "bn254":
-            self.tower = get_tower("bn254")
+            self.tower = tower or get_tower("bn254")
             self.family = "bn"
             self.seed = 4965661367192848881          # x0 (bn254.go:155)
             self.seed_neg = False
@@ -69,7 +71,7 @@ class PairingCtx:
         elif name == "bls24_315":
             from gnark_crypto_tpu.towers.tower24 import get_tower24
 
-            self.tower = get_tower24(name)
+            self.tower = tower or get_tower24(name)
             self.family = "bls24"
             self.seed = 3218079743        # |x0|, x0 < 0 (bls24-315.go:161;
             self.seed_neg = True          # Expt chain = x^(1+3*2^20-3*2^30))
@@ -81,7 +83,7 @@ class PairingCtx:
         elif name == "bls24_317":
             from gnark_crypto_tpu.towers.tower24 import get_tower24
 
-            self.tower = get_tower24(name)
+            self.tower = tower or get_tower24(name)
             self.family = "bls24"
             self.seed = 3640754176        # x0 > 0 (bls24-317.go:149)
             self.seed_neg = False
@@ -91,7 +93,7 @@ class PairingCtx:
             self.b_twist = ((0, 0), (4, 0))
             self.twist_type = "M"
         elif name in ("bls12_381", "bls12_377"):
-            self.tower = get_tower(name)
+            self.tower = tower or get_tower(name)
             self.family = "bls12"
             if name == "bls12_381":
                 self.seed = 15132376222941642752      # |x0|, x0 < 0
@@ -200,6 +202,20 @@ class PairingCtx:
             c4 = self._scale_e2(r0, py)
             return self.tower.from_coeffs6([r2, c1, zero, zero, c4, zero])
 
+    def line_prod(self, facc, line, px, py):
+        """facc * line(P): sparse MulBy034 (D-twist) / MulBy014 (M-twist)
+        when the tower provides it (Tower12), dense E12 mul otherwise
+        (bls24 towers). Bit-identical to the dense product."""
+        tw = self.tower
+        r0, r1, r2 = line
+        if self.twist_type == "D" and hasattr(tw, "mul_by_034"):
+            return tw.mul_by_034(facc, self._scale_e2(r0, py),
+                                 self._scale_e2(r1, px), r2)
+        if self.twist_type == "M" and hasattr(tw, "mul_by_014"):
+            return tw.mul_by_014(facc, r2, self._scale_e2(r1, px),
+                                 self._scale_e2(r0, py))
+        return tw.e12.mul(facc, self.line_value(line, px, py))
+
     # -- psi (untwist-Frobenius) endomorphism constants ---------------------
     @functools.lru_cache(maxsize=None)
     def _psi_dev(self, i: int):
@@ -240,9 +256,7 @@ def _miller_kernels(ctx: PairingCtx):
     e12 = tw.e12
 
     def _lv(facc, line, px, py, infm):
-        lv = ctx.line_value(line, px, py)
-        ones = e12.broadcast_to(e12.ones(), e12.eshape(lv))
-        return e12.mul(facc, e12.where(infm, ones, lv))
+        return e12.where(infm, facc, ctx.line_prod(facc, line, px, py))
 
     def dbl(facc, qp, px, py, infm):
         facc = e12.square(facc)
@@ -277,9 +291,8 @@ def miller_loop(ctx: PairingCtx, P: Affine, QX, QY):
     facc = e12.broadcast_to(e12.ones(), (n,))
 
     def line_mul(facc, line):
-        lv = ctx.line_value(line, P.x, P.y)
-        lv = e12.where(inf_mask, e12.broadcast_to(e12.ones(), (n,)), lv)
-        return e12.mul(facc, lv)
+        return e12.where(inf_mask, facc,
+                         ctx.line_prod(facc, line, P.x, P.y))
 
     digits = ctx.loop
     from gnark_crypto_tpu.utils import hostloop
@@ -430,7 +443,21 @@ def _hard_part_bls12(ctx: PairingCtx, result):
 
 
 def pair(name: str, P: Affine, QX, QY):
-    """Reduced pairing prod_i e(P_i, Q_i) (reference Pair, pairing.go:26)."""
+    """Reduced pairing prod_i e(P_i, Q_i) (reference Pair, pairing.go:26).
+
+    On TPU (eager) the whole pairing runs as 1-2 VM-kernel dispatches
+    (pairing/vm_pairing.py) — the step-kernel ladder below is ~1500
+    dispatch-latency-bound round trips through the tunnel. Escape hatch:
+    GNARK_TPU_NO_VM_PAIRING=1."""
+    import os
+
+    from gnark_crypto_tpu.utils import hostloop
+    if (name in ("bn254", "bls12_381", "bls12_377")
+            and jax.default_backend() == "tpu"
+            and not hostloop.is_tracing(P, QX, QY)
+            and os.environ.get("GNARK_TPU_NO_VM_PAIRING") != "1"):
+        from gnark_crypto_tpu.pairing.vm_pairing import pair_vm
+        return pair_vm(name, P, QX, QY)
     ctx = get_ctx(name)
     f = miller_loop(ctx, P, QX, QY)
     return final_exponentiation(ctx, f)

@@ -83,25 +83,29 @@ class Tower12:
       xi:   E6 non-residue in E2 (v^3 = xi), e.g. (9, 1) for bn254
     """
 
-    def __init__(self, name: str, fp_spec: FieldSpec, beta: int, xi: tuple):
+    def __init__(self, name: str, fp_spec: FieldSpec, beta: int, xi: tuple,
+                 *, fp=None, quad_cls=None, cubic_cls=None):
+        """``fp``/``quad_cls``/``cubic_cls`` inject alternative engine
+        implementations (e.g. the symbolic program-emitting engines of
+        ``towers/symbolic.py``); defaults are the device engines."""
         self.name = name
         self.fp_spec = fp_spec
         self.p = fp_spec.modulus
         self.beta = beta % self.p if beta > 0 else beta
         self.xi = tuple(c % self.p for c in xi)
-        self.fp: FieldEngine = for_spec(fp_spec)
-        self.e2 = QuadExtEngine(self.fp, beta, tag=f"{name}_e2")
-
-        xi_dev = None  # built lazily per call to avoid early device use
+        self.fp: FieldEngine = fp if fp is not None else for_spec(fp_spec)
+        quad_cls = quad_cls or QuadExtEngine
+        cubic_cls = cubic_cls or CubicExtEngine
+        self.e2 = quad_cls(self.fp, beta, tag=f"{name}_e2")
 
         def mul_by_xi(a, _self=self):
             return _self._mul_by_xi(a)
 
-        self.e6 = CubicExtEngine(self.e2, self.xi, mul_by_nr=mul_by_xi,
-                                 tag=f"{name}_e6")
-        self.e12 = QuadExtEngine(self.e6, None,
-                                 mul_by_nr=self.e6.mul_by_v,
-                                 tag=f"{name}_e12")
+        self.e6 = cubic_cls(self.e2, self.xi, mul_by_nr=mul_by_xi,
+                            tag=f"{name}_e6")
+        self.e12 = quad_cls(self.e6, None,
+                            mul_by_nr=self.e6.mul_by_v,
+                            tag=f"{name}_e12")
         self._precompute_frobenius()
 
     # -- xi multiplication (specialized small-int forms) --------------------
@@ -492,6 +496,37 @@ class Tower12:
         o0 = e6.add(e6.mul_by_v(c), b)
         return e12.build([o0, o1])
 
+    def _e6_mul_by_e2(self, z, c):
+        """E6 z scaled coefficientwise by an E2 element (e6.go MulByE2)."""
+        e2, e6 = self.e2, self.e6
+        return e6.build([e2.mul(e6.coeff(z, j), c) for j in range(3)])
+
+    def mul_by_034(self, z, c0, c3, c4):
+        """z * (c0, 0, 0, c3, c4, 0) — the D-twist Miller line product
+        (reference e12_pairing.go MulBy034; 13 E2 muls vs 18 for a full
+        E12 mul). Exact sparse multiplication (bit-identical to the dense
+        product), used by both the XLA and VM pairing paths."""
+        e2, e6, e12 = self.e2, self.e6, self.e12
+        z0, z1 = e12.coeff(z, 0), e12.coeff(z, 1)
+        a = self._e6_mul_by_e2(z0, c0)
+        b = self._e6_mul_by_01(z1, c3, c4)
+        d = self._e6_mul_by_01(e6.add(z0, z1), e2.add(c0, c3), c4)
+        o1 = e6.sub(e6.sub(d, a), b)
+        o0 = e6.add(e6.mul_by_v(b), a)
+        return e12.build([o0, o1])
+
+    def mul_by_014(self, z, c0, c1, c4):
+        """z * (c0, c1, 0, 0, c4, 0) — the M-twist Miller line product
+        (bls12-381 e12_pairing.go MulBy014; 13 E2 muls)."""
+        e2, e6, e12 = self.e2, self.e6, self.e12
+        z0, z1 = e12.coeff(z, 0), e12.coeff(z, 1)
+        a = self._e6_mul_by_01(z0, c0, c1)
+        b = self._e6_mul_by_1(z1, c4)
+        d = self._e6_mul_by_01(e6.add(z0, z1), c0, e2.add(c1, c4))
+        o1 = e6.sub(e6.sub(d, a), b)
+        o0 = e6.add(e6.mul_by_v(b), a)
+        return e12.build([o0, o1])
+
     # M-twist (bls12-381): lines are (c0, c1, 0, 0, 1, 0) elements.
     def mul_by_01(self, z, c0, c1):
         """z * (c0, c1, 0, 0, 1, 0) (bls12-381 e12_pairing.go:70 MulBy01)."""
@@ -539,16 +574,28 @@ class Tower12:
 # registry
 # ---------------------------------------------------------------------------
 
+def _tower12_params():
+    from gnark_crypto_tpu.specs import field as fs
+    return {
+        # ecc/bn254/internal/fptower: u^2=-1, v^3 = 9+u (e2.go, e6.go)
+        "bn254": (fs.BN254_FP, -1, (9, 1)),
+        # bls12-381 tower: u^2=-1, v^3 = 1+u
+        "bls12_381": (fs.BLS12_381_FP, -1, (1, 1)),
+        # bls12-377 tower: u^2=-5, v^3 = u
+        "bls12_377": (fs.BLS12_377_FP, -5, (0, 1)),
+    }
+
+
+class _LazyParams(dict):
+    def __missing__(self, key):
+        self.update(_tower12_params())
+        return dict.__getitem__(self, key)
+
+
+TOWER12_PARAMS = _LazyParams()
+
+
 @functools.lru_cache(maxsize=None)
 def get_tower(name: str) -> Tower12:
-    from gnark_crypto_tpu.specs import field as fs
-    if name == "bn254":
-        # ecc/bn254/internal/fptower: u^2=-1, v^3 = 9+u (e2.go, e6.go)
-        return Tower12("bn254", fs.BN254_FP, -1, (9, 1))
-    if name == "bls12_381":
-        # bls12-381 tower: u^2=-1, v^3 = 1+u
-        return Tower12("bls12_381", fs.BLS12_381_FP, -1, (1, 1))
-    if name == "bls12_377":
-        # bls12-377 tower: u^2=-5, v^3 = u
-        return Tower12("bls12_377", fs.BLS12_377_FP, -5, (0, 1))
-    raise KeyError(name)
+    spec, beta, xi = TOWER12_PARAMS[name]
+    return Tower12(name, spec, beta, xi)

@@ -250,10 +250,9 @@ def _scale_ext_by_fp(tw, ext_elem, fp_scalar):
     else:
         for _ in range(extra):
             s = s[..., None]
-    from gnark_crypto_tpu.field import f31, mont
-
-    impl = mont if f.elem_dims else f31
-    return impl.mul(f.spec, ext_elem, s)
+    # f.mul broadcasts over the inserted extension axes (works for the
+    # device engines AND the symbolic program-emitting engine)
+    return f.mul(ext_elem, s)
 
 
 @functools.lru_cache(maxsize=None)
