@@ -27,10 +27,13 @@ CURVES = (
     "bw6_633", "bw6_761", "grumpkin", "secp256k1", "secp256r1", "stark",
 )
 
-# implementation status (round 1): full stack for bn254/bls12-381/bls12-377
-# G1+G2+pairing+KZG; G1-only for grumpkin/secp256k1/secp256r1/stark;
-# bls24/bw6 curve stacks land in a later round (specs registered).
-PAIRING_CURVES_IMPLEMENTED = ("bn254", "bls12_381", "bls12_377")
+# implementation status: all 7 pairing families have the full
+# G1+G2+pairing+KZG stack (bls24 via the Fp4->Fp24 tower, bw6 via the
+# Fp3->Fp6 direct tower); the 4 plain curves are G1-only by nature.
+PAIRING_CURVES_IMPLEMENTED = (
+    "bn254", "bls12_381", "bls12_377", "bls24_315", "bls24_317",
+    "bw6_761", "bw6_633",
+)
 PLAIN_CURVES_IMPLEMENTED = ("grumpkin", "secp256k1", "secp256r1", "stark")
 
 SMALL_FIELDS = ("goldilocks", "babybear", "koalabear")

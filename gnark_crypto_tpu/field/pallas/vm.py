@@ -57,9 +57,12 @@ OP_MUL, OP_ADD, OP_SUB, OP_HALVE, OP_ROT, OP_NOP = range(6)
 def _halve_tile(spec: FieldSpec, l_pad: int, x, q_col):
     """x/2 mod q on a canonical (l_pad, TILE) tile (element.go:367)."""
     b = spec.limb_bits
+    # x + q < 2q needs one extra bit of headroom: either spare zero rows
+    # above L absorb the carry, or (when L == l_pad, e.g. bls12-381/377 at
+    # 32 limbs) the top limb itself has slack because 2q < 2^(l_pad*b).
+    assert 2 * spec.modulus < 1 << (l_pad * b), spec.name
     odd = x[0:1, :] & 1
     t = x + jnp.where(odd == 1, q_col, 0)
-    # x + q < 2q needs one extra bit; rows >= L are zero and absorb it
     t, _ = _carry_rows(t, l_pad, b, spec.mask)
     hi = jnp.concatenate([t[1:], t[0:1] ^ t[0:1]], axis=0)
     return (t >> 1) | ((hi & 1) << (b - 1))

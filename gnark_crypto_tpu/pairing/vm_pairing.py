@@ -100,18 +100,22 @@ def _sym_lane_product(tw, facc):
 @functools.lru_cache(maxsize=None)
 def build_program(name: str, variant: str) -> vm.Program:
     """variant: 'full' (miller+product+finalexp), 'miller' (per-tile
-    miller+product), 'reduce' (lane product + finalexp over GT inputs)."""
+    miller+product), 'product' (lane product only, 12 in -> 12 out),
+    'reduce' (lane product + finalexp over GT inputs)."""
     assert name in VM_FAMILIES, name
     from gnark_crypto_tpu.towers.tower12 import TOWER12_PARAMS
     spec = TOWER12_PARAMS[name][0]
     asm = vm.Asm(spec)
     tw = SymTower12(name, asm)
-    if variant == "reduce":
+    if variant in ("reduce", "product"):
         f = tw.fp
         facc = np.asarray([f.input(f"f{i}")
                            for i in range(12)], np.int32).reshape(2, 3, 2)
         ctx = PairingCtx(name, tower=tw)
         facc = _sym_lane_product(tw, facc)
+        if variant == "product":
+            return asm.build(
+                {f"g{i}": v for i, v in enumerate(_flat_ids(facc))})
         gt = final_exponentiation(ctx, facc)
         return asm.build({f"g{i}": v for i, v in enumerate(_flat_ids(gt))})
     ctx = PairingCtx(name, tower=tw)
@@ -176,16 +180,29 @@ def pair_vm(name: str, P: Affine, QX, QY, interpret: bool = False):
         out = vm.execute(prog, inputs, n_pad, interpret=interpret)
         return gt_from(out, 0)
 
-    # multi-tile: per-tile miller products, then cross-tile reduce+finalexp
+    # multi-tile: per-tile miller products, then cross-tile reduce+finalexp.
+    # For T > TILE tile-products (batches > TILE^2), fold with product-only
+    # rounds until one reduce tile remains.
     prog1 = build_program(name, "miller")
     out1 = vm.execute(prog1, inputs, n_pad, interpret=interpret)
     T = n_pad // vm.TILE
     rows = jnp.arange(T) * vm.TILE
+    vals = [out1[f"g{i}"][rows] for i in range(12)]  # (T, L) per-tile prods
+
+    def tile_inputs(vals, t_pad):
+        return {f"f{i}": _pad_rows(v, t_pad, one_row if i == 0 else zero_row)
+                for i, v in enumerate(vals)}
+
+    while T > vm.TILE:
+        t_pad = -(-T // vm.TILE) * vm.TILE
+        prog_p = build_program(name, "product")
+        out_p = vm.execute(prog_p, tile_inputs(vals, t_pad), t_pad,
+                           interpret=interpret)
+        T = t_pad // vm.TILE
+        rows = jnp.arange(T) * vm.TILE
+        vals = [out_p[f"g{i}"][rows] for i in range(12)]
+
     prog2 = build_program(name, "reduce")
-    inputs2 = {}
-    for i in range(12):
-        vals = out1[f"g{i}"][rows]  # (T, L) per-tile products
-        fill = one_row if i == 0 else zero_row
-        inputs2[f"f{i}"] = _pad_rows(vals, vm.TILE, fill)
-    out2 = vm.execute(prog2, inputs2, vm.TILE, interpret=interpret)
+    out2 = vm.execute(prog2, tile_inputs(vals, vm.TILE), vm.TILE,
+                      interpret=interpret)
     return gt_from(out2, 0)

@@ -271,3 +271,97 @@ def batch_verify_single_point(name: str, digests, batch_proof, point,
     folded_claimed = fr.from_mont(fr.sum_reduce(fr.mul(cm, gm)))[None]
     proof = OpeningProof(h=batch_proof.h, claimed_value=folded_claimed)
     return verify(name, folded_digest, proof, point, vk)
+
+
+# ---------------------------------------------------------------------------
+# batch verification of openings at DISTINCT points (one pairing total)
+# ---------------------------------------------------------------------------
+
+def batch_verify_multi_points(name: str, digests, proofs, points,
+                              vk: VerifyingKey, lambdas=None) -> jax.Array:
+    """BatchVerifyMultiPoints (kzg.go:423): verify k opening proofs at k
+    distinct points with ONE pairing check via a random linear combination.
+
+    With verifier randomness lambda_i (lambda_0 = 1), checks
+      e(sum_i l_i([f_i(a)]G1 - [y_i]G1 + [p_i][H_i]), G2)
+      * e(-sum_i l_i [H_i], [alpha]G2) == 1.
+
+    digests: list of k Affine (1,) commitments; proofs: list of k
+    OpeningProof; points: list of k plain fr scalars ((1,) arrays or ints).
+    lambdas: optional k host ints (lambda_0 forced to 1); defaults to
+    os.urandom sampling — the reference samples from crypto/rand too.
+    """
+    g1c = _g1(name)
+    fr = g1c.fr
+    r = fr.spec.modulus
+    k = len(digests)
+    if len(proofs) != k or len(points) != k:
+        raise ValueError("digests/proofs/points length mismatch")
+    if k == 0:
+        raise ValueError("zero digests")
+    if k == 1:
+        return verify(name, digests[0], proofs[0], _as_fr(fr, points[0]), vk)
+
+    if lambdas is None:
+        import os
+        lambdas = [1] + [int.from_bytes(os.urandom(31), "big") % r
+                         for _ in range(k - 1)]
+    lambdas = [1] + [int(v) % r for v in lambdas[1:]]
+
+    curve = cs.get_curve(f"{name}_g1")
+    qx_pts = Affine(jnp.concatenate([p.h.x for p in proofs], axis=0),
+                    jnp.concatenate([p.h.y for p in proofs], axis=0))
+    lam_dev = fr.from_int(lambdas, mont=False)
+    # sum_i l_i [H_i]
+    folded_quotients = msm(curve, qx_pts, lam_dev, c=4)
+
+    # sum_i l_i D_i
+    dx = jnp.concatenate([d.x for d in digests], axis=0)
+    dy = jnp.concatenate([d.y for d in digests], axis=0)
+    folded_digests = msm(curve, Affine(dx, dy), lam_dev, c=4)
+
+    # sum_i l_i y_i and the l_i * p_i scalars (host fold of tiny values)
+    pts_int = [_point_int(fr, p) for p in points]
+    lam_m = fr.to_mont(lam_dev)
+    evals = jnp.concatenate(
+        [jnp.atleast_1d(p.claimed_value)[:1] for p in proofs], axis=0)
+    folded_evals = fr.from_mont(
+        fr.sum_reduce(fr.mul(fr.to_mont(evals), lam_m)))[None]
+    lam_pts = fr.from_int(
+        [(lambdas[i] * pts_int[i]) % r for i in range(k)], mont=False)
+
+    # [sum l_i y_i] G1 (vk.g1 is a batch of 1; strip to match the msm
+    # results, which are unbatched single points)
+    evals_commit = Jac(*(c[0] for c in g1c.scalar_mul(
+        g1c.from_affine(vk.g1), folded_evals)))
+    # sum_i l_i p_i [H_i]
+    folded_pts_quotients = msm(curve, qx_pts, lam_pts, c=4)
+
+    total = g1c.add(folded_digests, g1c.neg_jac(evals_commit))
+    total = g1c.add(total, folded_pts_quotients)
+    total_aff = g1c.to_affine(_as_batch(total))
+    neg_q_aff = g1c.to_affine(_as_batch(g1c.neg_jac(folded_quotients)))
+
+    px = jnp.concatenate([total_aff.x, neg_q_aff.x], axis=0)
+    py = jnp.concatenate([total_aff.y, neg_q_aff.y], axis=0)
+    if vk.lines is not None:
+        from gnark_crypto_tpu.pairing.lines import pairing_check_fixed_q
+
+        return pairing_check_fixed_q(name, Affine(px, py), vk.lines)
+    qx = jnp.concatenate([vk.g2.x, vk.alpha_g2.x], axis=0)
+    qy = jnp.concatenate([vk.g2.y, vk.alpha_g2.y], axis=0)
+    return pairing_api.pairing_check(name, Affine(px, py), qx, qy)
+
+
+def _as_fr(fr, point):
+    """int or (1,) plain fr array -> (1,) plain fr array."""
+    if isinstance(point, int):
+        return fr.from_int([point % fr.spec.modulus], mont=False)
+    return point
+
+
+def _point_int(fr, point) -> int:
+    if isinstance(point, int):
+        return point % fr.spec.modulus
+    v = fr.to_int(point, mont=False)
+    return v[0] if isinstance(v, list) else v

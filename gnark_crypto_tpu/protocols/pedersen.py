@@ -98,6 +98,43 @@ def fold_commitments(name: str, commitments: list[Affine], coeff: int):
     return g1c.to_affine(Jac(*(c[None] for c in res)))
 
 
+def batch_verify_multi_vk(name: str, vks: list[VerifyingKey],
+                          commitments: list[Affine], poks: list[Affine],
+                          coeff: int):
+    """Verify multiple separate PoKs with n+1 pairings instead of 2n
+    (pedersen.go:227 BatchVerifyMultiVk).
+
+    The vks may come from different ceremonies but must share the G2 point
+    (the reference enforces vk[i].G == vk[0].G). ``poks`` is either one
+    proof per vk, or a single already-folded proof. ``coeff`` is the
+    verifier's random combination coefficient: the check is
+    e(C_0, -s_0 G2) * prod_i e([coeff^i]C_i, -s_i G2) * e(fold(poks), G2).
+    """
+    g1c = _g1(name)
+    r = g1c.spec.fr.modulus
+    k = len(vks)
+    if len(commitments) != k:
+        raise ValueError("commitments length mismatch")
+    if len(poks) not in (k, 1):
+        raise ValueError("pok length mismatch")
+
+    g1s = [commitments[0]]
+    for i in range(1, k):
+        s = g1c.fr.from_int([pow(coeff, i, r)], mont=False)
+        g1s.append(g1c.to_affine(
+            g1c.scalar_mul(g1c.from_affine(commitments[i]), s)))
+    folded_pok = poks[0] if len(poks) == 1 else \
+        fold_commitments(name, poks, coeff)
+
+    px = jnp.concatenate([p.x for p in g1s] + [folded_pok.x], axis=0)
+    py = jnp.concatenate([p.y for p in g1s] + [folded_pok.y], axis=0)
+    qx = jnp.concatenate([vk.g_sigma_neg.x for vk in vks] + [vks[0].g.x],
+                         axis=0)
+    qy = jnp.concatenate([vk.g_sigma_neg.y for vk in vks] + [vks[0].g.y],
+                         axis=0)
+    return pairing_api.pairing_check(name, Affine(px, py), qx, qy)
+
+
 def batch_prove(name: str, pks: list[ProvingKey], values: list, coeff: int
                 ) -> Affine:
     """Single PoK for multiple commitments (pedersen.go:145): fold values

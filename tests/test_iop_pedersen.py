@@ -83,3 +83,39 @@ def test_pedersen_commit_prove_verify():
     # tampered proof fails
     bad = Affine(pok.x, g1c.fp.neg(pok.y))
     assert not bool(np.asarray(pedersen.verify(name, vk, com, bad)))
+
+
+def test_pedersen_batch_verify_multi_vk():
+    """BatchVerifyMultiVk (pedersen.go:227): n PoKs from different
+    ceremonies (same G2 point) verified with n+1 pairings."""
+    name = "bn254"
+    g1c = curve_ops(cs.get_curve("bn254_g1"))
+    rng = random.Random(6)
+    n, k = 6, 2
+    from tests.test_curve_g1 import pts_to_device, rand_points
+
+    vks, coms, poks = [], [], []
+    for i in range(k):
+        basis = pts_to_device(g1c, rand_points(g1c, n, seed=40 + i))
+        pks, vk = pedersen.setup(name, [basis], sigma=0x1111 + i,
+                                 g2_scalar=3)
+        values = g1c.fr.from_int(
+            [rng.randrange(g1c.spec.fr.modulus) for _ in range(n)],
+            mont=False)
+        vks.append(vk)
+        coms.append(pedersen.commit(name, pks[0], values))
+        poks.append(pedersen.prove_knowledge(name, pks[0], values))
+
+    coeff = rng.randrange(1, g1c.spec.fr.modulus)
+    ok = pedersen.batch_verify_multi_vk(name, vks, coms, poks, coeff)
+    assert bool(np.asarray(ok))
+
+    # pre-folded single pok also accepted
+    folded = pedersen.fold_commitments(name, poks, coeff)
+    ok2 = pedersen.batch_verify_multi_vk(name, vks, coms, [folded], coeff)
+    assert bool(np.asarray(ok2))
+
+    # one tampered pok fails
+    bad = [poks[0], Affine(poks[1].x, g1c.fp.neg(poks[1].y))]
+    assert not bool(np.asarray(
+        pedersen.batch_verify_multi_vk(name, vks, coms, bad, coeff)))

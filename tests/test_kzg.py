@@ -83,3 +83,41 @@ def test_batch_open_verify(srs):
                                      digests=digests)
     ok = kzg.batch_verify_single_point(NAME, digests, bp, point, srs.vk)
     assert bool(np.asarray(ok))
+
+
+def test_batch_verify_multi_points(srs):
+    """BatchVerifyMultiPoints (kzg.go:423): k proofs at DISTINCT points,
+    one pairing; each proof also passes the per-proof verify oracle."""
+    r = cs.get_curve(f"{NAME}_g1").fr.modulus
+    rng = random.Random(4)
+    k = 3
+    digests, proofs, points = [], [], []
+    for i in range(k):
+        poly = frs([rng.randrange(r) for _ in range(SIZE)])
+        pt = frs([rng.randrange(r)])
+        digests.append(kzg.commit(NAME, srs.pk, poly))
+        proofs.append(kzg.open_poly(NAME, srs.pk, poly, pt))
+        points.append(pt)
+        assert bool(np.asarray(
+            kzg.verify(NAME, digests[-1], proofs[-1], pt, srs.vk)))
+
+    lambdas = [1] + [rng.randrange(1, r) for _ in range(k - 1)]
+    ok = kzg.batch_verify_multi_points(NAME, digests, proofs, points,
+                                       srs.vk, lambdas=lambdas)
+    assert bool(np.asarray(ok))
+
+    # single-proof path delegates to verify
+    ok1 = kzg.batch_verify_multi_points(NAME, digests[:1], proofs[:1],
+                                        points[:1], srs.vk)
+    assert bool(np.asarray(ok1))
+
+    # tampered claimed value in one proof must fail the batch
+    g1c = curve_ops(cs.get_curve(f"{NAME}_g1"))
+    bad = kzg.OpeningProof(
+        h=proofs[1].h,
+        claimed_value=g1c.fr.from_int(
+            [(g1c.fr.to_int(proofs[1].claimed_value, mont=False)[0] + 1) % r],
+            mont=False))
+    bad_proofs = [proofs[0], bad, proofs[2]]
+    assert not bool(np.asarray(kzg.batch_verify_multi_points(
+        NAME, digests, bad_proofs, points, srs.vk, lambdas=lambdas)))

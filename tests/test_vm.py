@@ -115,8 +115,52 @@ def test_symbolic_tower_vs_device_engine():
     assert np.array_equal(got, np.asarray(Z))
 
 
+def test_vm_product_program():
+    """The 'product' variant (multi-tile fold building block) matches the
+    device-engine E12 product of the live rows, identity on pad rows."""
+    from gnark_crypto_tpu.pairing.vm_pairing import build_program
+    from gnark_crypto_tpu.towers.tower12 import get_tower
+
+    name = "bn254"
+    tw = get_tower(name)
+    prog = build_program(name, "product")
+    rng = np.random.default_rng(5)
+    n_live = 5
+    vals = [tuple(tuple(tuple(
+        int.from_bytes(rng.bytes(31), "big") % tw.p
+        for _ in range(2)) for _ in range(3)) for _ in range(2))
+        for _ in range(n_live)]
+    A = tw.e12.from_int(vals)                      # (n, 2, 3, 2, L)
+    fa = np.asarray(A).reshape(n_live, 12, -1)
+    L = fa.shape[-1]
+    one = np.asarray(tw.e12.ones(())).reshape(12, L)
+    inputs = {}
+    for i in range(12):
+        col = np.concatenate(
+            [fa[:, i], np.broadcast_to(one[i], (vm.TILE - n_live, L))], 0)
+        inputs[f"f{i}"] = col
+    out = vm.execute(prog, inputs, vm.TILE, interpret=True)
+    got = np.stack([np.asarray(out[f"g{i}"][0]) for i in range(12)],
+                   0).reshape(2, 3, 2, L)
+    acc = A[0]
+    for i in range(1, n_live):
+        acc = tw.e12.mul(acc, A[i])
+    assert np.array_equal(got, np.asarray(acc))
+
+
+@pytest.mark.parametrize("name", ["bls12_377"])
+def test_vm_pairing_program_builds(name):
+    """Register allocation + symbolic trace succeed for every VM family
+    (a spill or formula mismatch would otherwise first surface on-device;
+    ADVICE r3). Build-only: no execution."""
+    from gnark_crypto_tpu.pairing.vm_pairing import build_program
+    for variant in ("full", "miller", "product", "reduce"):
+        prog = build_program(name, variant)
+        assert prog.n_instrs > 0
+
+
 @pytest.mark.slow
-@pytest.mark.parametrize("name", ["bn254", "bls12_381"])
+@pytest.mark.parametrize("name", ["bn254", "bls12_381", "bls12_377"])
 def test_vm_pairing_vs_reference_path(name):
     """Full VM pairing (miller+product+finalexp, one program) against the
     step-kernel pairing path, with one infinite pair exercising the lane
