@@ -35,9 +35,17 @@ class AffLines(NamedTuple):
     r1: jax.Array
 
 
+_BW6 = ("bw6_761", "bw6_633")
+
+
 def n_line_slots(name: str) -> int:
     """Reference slot count: len(LoopCounter) for bn254 (terminal lines in
-    the extra slot), len(LoopCounter)-1 for BLS12 (kzg/marshal.go nLines)."""
+    the extra slot), len(LoopCounter)-1 for BLS12/BLS24/BW6
+    (kzg/marshal.go nLines)."""
+    if name in _BW6:
+        from gnark_crypto_tpu.pairing.pairing6 import get_ctx6
+
+        return get_ctx6(name).nbits
     ctx = get_ctx(name)
     return len(ctx.loop) if ctx.family == "bn" else len(ctx.loop) - 1
 
@@ -91,10 +99,15 @@ def _aff_kernels(ctx: PairingCtx):
 
 def precompute_lines(name: str, QX, QY) -> AffLines:
     """Per-Q line tables (reference PrecomputeLines). Host-driven eager
-    ladder (lines are precomputed once, off the hot path)."""
+    ladder (lines are precomputed once, off the hot path). All 7 pairing
+    families; BW6 delegates to the direct-sextic ladder (pairing6)."""
+    if name in _BW6:
+        from gnark_crypto_tpu.pairing.pairing6 import precompute_lines6
+
+        r0, r1 = precompute_lines6(name, QX, QY)
+        return AffLines(r0, r1)
     ctx = get_ctx(name)
-    if ctx.family not in ("bn", "bls12"):
-        raise NotImplementedError(f"fixed-Q lines: {name}")
+    assert ctx.family in ("bn", "bls12", "bls24"), name
     e2 = ctx.tower.e2
     dbl, add, dbl_add = _aff_kernels(ctx)
     S = n_line_slots(name)
@@ -150,6 +163,7 @@ def precompute_lines(name: str, QX, QY) -> AffLines:
 def _loop_kernels(ctx: PairingCtx):
     tw = ctx.tower
     e12 = tw.e12
+    sparse = hasattr(tw, "mul_by_34")   # Tower12 only; Tower24 goes dense
 
     def scale(ctx_, r0, r1, xnoy, yinv):
         if ctx_.twist_type == "D":
@@ -158,9 +172,22 @@ def _loop_kernels(ctx: PairingCtx):
         # M-twist: c0 = R1 * (1/y), c1 = R0 * (-x/y) (bls12-381 :781-794)
         return ctx_._scale_e2(r1, yinv), ctx_._scale_e2(r0, xnoy)
 
+    def line_elt(a, b):
+        """Dense sextic-coefficient line element: (1,0,0,a,b,0) for D
+        twists, (a,b,0,0,1,0) for M (bls24 fallback; bit-identical to the
+        sparse products)."""
+        e2 = tw.e2
+        zero = e2.zeros(e2.eshape(a))
+        one = e2.broadcast_to(e2.ones(), e2.eshape(a))
+        if ctx.twist_type == "D":
+            return tw.from_coeffs6([one, zero, zero, a, b, zero])
+        return tw.from_coeffs6([a, b, zero, zero, one, zero])
+
     def step0(f, r0, r1, xnoy, yinv):
         f = e12.square(f)
         a, b = scale(ctx, r0, r1, xnoy, yinv)
+        if not sparse:
+            return e12.mul(f, line_elt(a, b))
         if ctx.twist_type == "D":
             return tw.mul_by_34(f, a, b)
         return tw.mul_by_01(f, a, b)
@@ -169,6 +196,8 @@ def _loop_kernels(ctx: PairingCtx):
         f = e12.square(f)
         a0, b0 = scale(ctx, r0a, r1a, xnoy, yinv)
         a1, b1 = scale(ctx, r0b, r1b, xnoy, yinv)
+        if not sparse:
+            return e12.mul(e12.mul(f, line_elt(a0, b0)), line_elt(a1, b1))
         if ctx.twist_type == "D":
             prod = tw.mul_34_by_34(a1, b1, a0, b0)
             return tw.mul_by_01234(f, prod)
@@ -189,6 +218,10 @@ def miller_loop_fixed_q(name: str, P: Affine, lines: AffLines):
     """Batched multi-Miller loop over fixed-Q line tables (reference
     MillerLoopFixedQ). P: G1 affine batch (n,); lines from
     :func:`precompute_lines` on the matching Q batch."""
+    if name in _BW6:
+        from gnark_crypto_tpu.pairing.pairing6 import miller_loop_fixed_q6
+
+        return miller_loop_fixed_q6(name, P, (lines.r0, lines.r1))
     ctx = get_ctx(name)
     tw = ctx.tower
     e12, f = tw.e12, tw.fp
@@ -251,6 +284,10 @@ def miller_loop_fixed_q(name: str, P: Affine, lines: AffLines):
 
 def pair_fixed_q(name: str, P: Affine, lines: AffLines):
     """Reduced pairing with fixed Q (reference PairFixedQ)."""
+    if name in _BW6:
+        from gnark_crypto_tpu.pairing.pairing6 import pair_fixed_q6
+
+        return pair_fixed_q6(name, P, (lines.r0, lines.r1))
     from gnark_crypto_tpu.pairing.pairing12 import final_exponentiation
 
     ctx = get_ctx(name)
@@ -259,6 +296,10 @@ def pair_fixed_q(name: str, P: Affine, lines: AffLines):
 
 def pairing_check_fixed_q(name: str, P: Affine, lines: AffLines):
     """prod e(P_i, Q_i) == 1 with fixed Q (reference PairingCheckFixedQ)."""
+    if name in _BW6:
+        from gnark_crypto_tpu.pairing.pairing6 import pairing_check_fixed_q6
+
+        return pairing_check_fixed_q6(name, P, (lines.r0, lines.r1))
     ctx = get_ctx(name)
     g = pair_fixed_q(name, P, lines)
     e12 = ctx.tower.e12

@@ -63,10 +63,12 @@ _PARAMS = {
 
 
 class PairingCtx6:
-    def __init__(self, name: str):
+    def __init__(self, name: str, tower=None):
+        """``tower``: inject an alternative Tower6 (e.g. the symbolic
+        program-emitting SymTower6) in place of the device one."""
         par = _PARAMS[name]
         self.name = name
-        self.tower: Tower6 = get_tower6(name)
+        self.tower: Tower6 = tower or get_tower6(name)
         self.fp = self.tower.fp
         self.x0 = par["x0"]
         self.third_root = par["third_root"]
@@ -264,6 +266,143 @@ def final_exponentiation(ctx: PairingCtx6, z):
     t = e6.mul(e6.mul(tw.cyclotomic_square(i), i), b)
     i = e6.mul(exp(h, E["c2"]), t)
     return e6.mul(a, i)
+
+
+# ---------------------------------------------------------------------------
+# fixed-Q: precomputed affine lines (reference bw6-761 pairing.go:408
+# PrecomputeLines / :838 MillerLoopFixedQ)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _aff_kernels6(ctx: PairingCtx6):
+    f = ctx.fp
+
+    def div(n, d):
+        return f.mul(n, f.inverse(d))
+
+    def dbl(x, y):
+        """Affine tangent; line R0 = lam, R1 = lam*x - y."""
+        lam = div(f.add(f.double(f.square(x)), f.square(x)), f.double(y))
+        xr = f.sub(f.sub(f.square(lam), x), x)
+        yr = f.sub(f.mul(lam, f.sub(x, xr)), y)
+        return xr, yr, lam, f.sub(f.mul(lam, x), y)
+
+    def add(x, y, ax, ay):
+        lam = div(f.sub(ay, y), f.sub(ax, x))
+        xr = f.sub(f.sub(f.square(lam), x), ax)
+        yr = f.sub(f.mul(lam, f.sub(x, xr)), y)
+        return xr, yr, lam, f.sub(f.mul(lam, x), y)
+
+    return jax.jit(dbl), jax.jit(add)
+
+
+def precompute_lines6(name: str, QX, QY):
+    """Per-Q affine line tables [2][S] with S = nbits slots (reference
+    PrecomputeLines, bw6-761 pairing.go:408). Returns (r0, r1) arrays of
+    shape (2, S, *batch) matching lines.AffLines semantics over fp."""
+    ctx = get_ctx6(name)
+    f = ctx.fp
+    dbl, add = _aff_kernels6(ctx)
+    S = ctx.nbits
+    w = f.broadcast_to(ctx._w_dev, f.eshape(QX))
+    q0 = (QX, QY)
+    q0n = (QX, f.neg(QY))
+    q1 = (f.mul(QX, w), f.neg(QY))
+    q1n = (q1[0], QY)
+    adds = {3: q1, 1: q0, -1: q0n, -3: q1n}
+    zero = f.zeros(f.eshape(QX))
+    slots0, slots1 = {}, {}
+    start = q1 if ctx.par["start_q1"] else q0
+    x, y = start
+    for i in range(S - 1, 0, -1):
+        x, y, r0, r1 = dbl(x, y)
+        slots0[i] = (r0, r1)
+        j = ctx._dig(i)
+        if j:
+            ax, ay = adds[j]
+            x, y, r0, r1 = add(x, y, ax, ay)
+            slots1[i] = (r0, r1)
+    # i = 0: tangent, then the final chord to the fixed last point with NO
+    # point update (pairing.go:259-271 / :274-289)
+    x, y, r0, r1 = dbl(x, y)
+    slots0[0] = (r0, r1)
+    lp = {"q1n": q1n, "q0": q0}[ctx.par["i0"][0]]
+    lam = f.mul(f.sub(lp[1], y), f.inverse(f.sub(lp[0], x)))
+    slots1[0] = (lam, f.sub(f.mul(lam, x), y))
+
+    import jax.numpy as _jnp
+
+    def stack(slots):
+        return (_jnp.stack([slots.get(i, (zero, zero))[0]
+                            for i in range(S)]),
+                _jnp.stack([slots.get(i, (zero, zero))[1]
+                            for i in range(S)]))
+
+    r0_0, r1_0 = stack(slots0)
+    r0_1, r1_1 = stack(slots1)
+    return (_jnp.stack([r0_0, r0_1]), _jnp.stack([r1_0, r1_1]))
+
+
+@functools.lru_cache(maxsize=None)
+def _fixedq_kernels6(ctx: PairingCtx6):
+    tw, f, e6 = ctx.tower, ctx.fp, ctx.tower.e6
+
+    def line_elt(r0, r1, xnoy, yinv):
+        # MulBy01 sparse element (R1*yInv, R0*xNegOverY, 0, 0, 1, 0)
+        # (bw6-761 e6.go:901, pairing.go MillerLoopFixedQ scaling)
+        zero = f.zeros(f.eshape(r0))
+        one = f.broadcast_to(f.ones(), f.eshape(r0))
+        return tw.from_coeffs6([f.mul(r1, yinv), f.mul(r0, xnoy),
+                                zero, zero, one, zero])
+
+    def step0(facc, r0, r1, xnoy, yinv):
+        facc = e6.square(facc)
+        return e6.mul(facc, line_elt(r0, r1, xnoy, yinv))
+
+    def step1(facc, r0a, r1a, r0b, r1b, xnoy, yinv):
+        facc = e6.square(facc)
+        facc = e6.mul(facc, line_elt(r0a, r1a, xnoy, yinv))
+        return e6.mul(facc, line_elt(r0b, r1b, xnoy, yinv))
+
+    return jax.jit(step0), jax.jit(step1)
+
+
+def miller_loop_fixed_q6(name: str, P: Affine, lines):
+    """Batched Miller loop over fixed-Q line tables. Infinite P need no
+    filtering: 1/0 == 0 makes both line slots vanish (pairing.go:845-858)."""
+    ctx = get_ctx6(name)
+    f, e6 = ctx.fp, ctx.tower.e6
+    n = f.eshape(P.x)[0]
+    yinv = f.inverse(P.y)
+    xnoy = f.neg(f.mul(P.x, yinv))
+    facc = e6.broadcast_to(e6.ones(), (n,))
+    step0, step1 = _fixedq_kernels6(ctx)
+    r0, r1 = lines
+    for i in range(ctx.nbits - 1, 0, -1):
+        if ctx._dig(i) == 0:
+            facc = step0(facc, r0[0, i], r1[0, i], xnoy, yinv)
+        else:
+            facc = step1(facc, r0[0, i], r1[0, i], r0[1, i], r1[1, i],
+                         xnoy, yinv)
+    facc = step1(facc, r0[0, 0], r1[0, 0], r0[1, 0], r1[1, 0], xnoy, yinv)
+    if ctx.par["conj_end"]:
+        facc = ctx.tower.conjugate(facc)
+    total = facc[:1]
+    for idx in range(1, n):
+        total = e6.mul(total, facc[idx:idx + 1])
+    return total
+
+
+def pair_fixed_q6(name: str, P: Affine, lines):
+    ctx = get_ctx6(name)
+    return final_exponentiation(ctx, miller_loop_fixed_q6(name, P, lines))
+
+
+def pairing_check_fixed_q6(name: str, P: Affine, lines):
+    ctx = get_ctx6(name)
+    e6 = ctx.tower.e6
+    g = pair_fixed_q6(name, P, lines)
+    return e6.equal(g, e6.broadcast_to(e6.ones(), e6.eshape(g)))
 
 
 def pair(name: str, P: Affine, QX, QY):

@@ -4,14 +4,16 @@ The eager pairing path is dispatch-latency-bound through the device tunnel
 (~1500 round trips, measured 106 pairs/s at batch 2048), and a whole-pairing
 XLA graph OOM-kills the remote compile helper (PERF.md round 3). Here the
 entire Miller loop + final exponentiation is ASSEMBLED into a VM program
-(``field/pallas/vm.py``) by running the very same ``PairingCtx`` formulas
-over the symbolic tower (``towers/symbolic.py``) — the NAF digit branches
-become straight-line code because the loop counter is a compile-time
-constant, exactly like the reference's unrolled ``e12_pairing.go`` chains.
+(``field/pallas/vm.py``) by running the very same pairing formulas
+(``PairingCtx`` for BN/BLS12/BLS24, ``PairingCtx6`` for BW6) over the
+symbolic towers (``towers/symbolic.py``) — the digit branches become
+straight-line code because the loop counters are compile-time constants,
+exactly like the reference's unrolled ``e12_pairing.go`` chains.
 
 Execution: ONE Pallas kernel dispatch per ≤``vm.TILE`` pairs (Miller +
-in-kernel lane-product + final exp), or two dispatches for larger batches
-(per-tile Miller/product, then a cross-tile reduce + final exp program).
+in-kernel lane-product + final exp), or a short chain of dispatches for
+larger batches (per-tile Miller/product, product-only folds while more
+than TILE tile-products remain, then a reduce + final exp program).
 
 Infinite pairs are neutralized WITHOUT branches: the caller feeds per-lane
 Montgomery masks (m, mc) ∈ {0,1}, and the program computes
@@ -19,8 +21,9 @@ Montgomery masks (m, mc) ∈ {0,1}, and the program computes
 pair filtering, pairing.go:118-126; garbage Miller values on dead lanes are
 multiplied away). Pad lanes beyond the batch get m=0, mc=1 automatically.
 
-Reference anchors: Pair/MillerLoop/FinalExponentiation
-(ecc/bn254/pairing.go:26,111,52).
+Reference anchors: Pair/MillerLoop/FinalExponentiation for every family
+(``ecc/bn254/pairing.go:26,111,52``, ``ecc/bls24-315/pairing.go``,
+``ecc/bw6-761/pairing.go:32,124,62``).
 """
 
 from __future__ import annotations
@@ -34,36 +37,84 @@ from gnark_crypto_tpu.curve.jacobian import Affine
 from gnark_crypto_tpu.field.pallas import vm
 from gnark_crypto_tpu.pairing.pairing12 import (G2Proj, PairingCtx,
                                                 final_exponentiation, get_ctx)
-from gnark_crypto_tpu.towers.symbolic import SymTower12
+from gnark_crypto_tpu.towers.symbolic import (SymTower6, SymTower12,
+                                              SymTower24)
 from gnark_crypto_tpu.towers.tower24 import _scale_ext_by_fp
 
-VM_FAMILIES = ("bn254", "bls12_381", "bls12_377")
+VM_FAMILIES = ("bn254", "bls12_381", "bls12_377",
+               "bls24_315", "bls24_317", "bw6_761", "bw6_633")
+_BW6 = ("bw6_761", "bw6_633")
+
+# register-file height per GT width: E24 programs keep ~10 live values of
+# 24 fp coefficients each through the final-exp chain
+_MAX_REGS = {6: 128, 12: 128, 24: 384}
+
+
+def _gt_coeffs(name: str) -> int:
+    return 6 if name in _BW6 else (24 if "bls24" in name else 12)
+
+
+def _q_coords(name: str) -> int:
+    """fp coefficients per G2 coordinate (1 for BW6, 2 E2, 4 E4)."""
+    return 1 if name in _BW6 else (4 if "bls24" in name else 2)
+
+
+def _coord_shape(name: str):
+    return {1: (), 2: (2,), 4: (2, 2)}[_q_coords(name)]
 
 
 def _flat_ids(x) -> list[int]:
     return [int(v) for v in np.asarray(x).ravel()]
 
 
-def _sym_miller(asm: vm.Asm, ctx: PairingCtx):
-    """Emit the per-lane Miller loop; returns the masked facc ids array."""
+def _sym_tower(name: str, asm: vm.Asm):
+    if name in _BW6:
+        return SymTower6(name, asm)
+    if "bls24" in name:
+        return SymTower24(name, asm)
+    return SymTower12(name, asm)
+
+
+def _coord_input(asm, prefix: str, name: str):
+    d = _q_coords(name)
+    ids = [asm.input(f"{prefix}{i}") for i in range(d)]
+    arr = np.asarray(ids, np.int32).reshape(_coord_shape(name))
+    return arr if d > 1 else arr[()]
+
+
+def _mask_gt(tw, gt_eng, facc, m, mc):
+    """facc = m * facc (+ mc at the real unit slot): dead-lane neutralizer."""
+    f = tw.fp
+    facc = _scale_ext_by_fp(tw, facc, m)
+    idx = (0,) * facc.ndim
+    facc = np.array(facc)
+    facc[idx] = f.add(facc[idx], mc)
+    return facc
+
+
+def _sym_miller12(asm: vm.Asm, ctx: PairingCtx):
+    """BN/BLS12/BLS24 Miller loop over the symbolic tower; returns the
+    masked facc coefficient-id array."""
     tw = ctx.tower
-    f, e2, e12 = tw.fp, tw.e2, tw.e12
+    f, ce = tw.fp, tw.e2            # ce: G2 coordinate engine (E2 or E4)
+    name = ctx.name
 
     px, py = f.input("px"), f.input("py")
-    qx = e2.build([f.input("qx0"), f.input("qx1")])
-    qy = e2.build([f.input("qy0"), f.input("qy1")])
+    qx = _coord_input(asm, "qx", name)
+    qy = _coord_input(asm, "qy", name)
     m, mc = f.input("m"), f.input("mc")
 
-    q = G2Proj(qx, qy, e2.ones(()))
-    qny = e2.neg(qy)
-    facc = e12.ones(())
+    q = G2Proj(qx, qy, ce.ones(()))
+    qny = ce.neg(qy)
+    facc = tw.e12.ones(())
 
     def line_mul(facc, line):
-        # sparse MulBy034/MulBy014 (13 E2 muls/line vs 18)
+        # sparse MulBy034/MulBy014 via ctx (13 coord-muls/line vs 18),
+        # dense for towers without the sparse helpers (bls24)
         return ctx.line_prod(facc, line, px, py)
 
     for d in ctx.loop[-2::-1]:
-        facc = e12.square(facc)
+        facc = tw.e12.square(facc)
         q, line = ctx.double_step(q)
         facc = line_mul(facc, line)
         if d != 0:
@@ -80,19 +131,63 @@ def _sym_miller(asm: vm.Asm, ctx: PairingCtx):
     elif ctx.seed_neg:
         facc = tw.conjugate(facc)
 
-    # neutralize dead lanes: facc = m * facc (+ mc at the C0B0 real slot)
-    facc = _scale_ext_by_fp(tw, facc, m)
-    facc[(0,) * (facc.ndim - 1) + (0,)] = f.add(
-        facc[(0,) * (facc.ndim - 1) + (0,)], mc)
-    return facc
+    return _mask_gt(tw, tw.e12, facc, m, mc)
 
 
-def _sym_lane_product(tw, facc):
+def _sym_miller6(asm: vm.Asm, ctx6):
+    """BW6 joint two-row Miller loop over the symbolic Tower6
+    (pairing6.miller_loop without the data-dependent infinity select)."""
+    from gnark_crypto_tpu.pairing.pairing6 import G2ProjFp
+
+    tw = ctx6.tower
+    f, e6 = tw.fp, tw.e6
+    px, py = f.input("px"), f.input("py")
+    qx, qy = f.input("qx0"), f.input("qy0")
+    m, mc = f.input("m"), f.input("mc")
+
+    w = f.from_int(ctx6.third_root)
+    q0 = (qx, qy)
+    q0n = (qx, f.neg(qy))
+    q1 = (f.mul(qx, w), f.neg(qy))
+    q1n = (q1[0], qy)
+    adds = {3: q1, 1: q0, -1: q0n, -3: q1n}
+
+    start = q1 if ctx6.par["start_q1"] else q0
+    qp = G2ProjFp(start[0], start[1], f.ones(()))
+    facc = e6.ones(())
+
+    def line_val(line):
+        r0, r1, r2 = line
+        zero = f.zeros(())
+        return tw.from_coeffs6([r0, f.mul(r1, px), zero,
+                                zero, f.mul(r2, py), zero])
+
+    for i in range(ctx6.nbits - 1, 0, -1):
+        facc = e6.square(facc)
+        qp, line = ctx6.double_step(qp)
+        facc = e6.mul(facc, line_val(line))
+        j = ctx6._dig(i)
+        if j:
+            ax, ay = adds[j]
+            qp, line = ctx6.add_mixed_step(qp, ax, ay)
+            facc = e6.mul(facc, line_val(line))
+    facc = e6.square(facc)
+    qp, line = ctx6.double_step(qp)
+    facc = e6.mul(facc, line_val(line))
+    lp = {"q1n": q1n, "q0": q0}[ctx6.par["i0"][0]]
+    facc = e6.mul(facc, line_val(ctx6.line_compute(qp, lp[0], lp[1])))
+    if ctx6.par["conj_end"]:
+        facc = tw.conjugate(facc)
+
+    return _mask_gt(tw, e6, facc, m, mc)
+
+
+def _sym_lane_product(tw, gt_eng, facc):
     """All-lanes product: log2(TILE) rotate-multiply rounds; afterwards
     every lane holds prod over the tile."""
     k = vm.TILE // 2
     while k:
-        facc = tw.e12.mul(facc, tw.rot(facc, k))
+        facc = gt_eng.mul(facc, tw.rot(facc, k))
         k //= 2
     return facc
 
@@ -100,33 +195,59 @@ def _sym_lane_product(tw, facc):
 @functools.lru_cache(maxsize=None)
 def build_program(name: str, variant: str) -> vm.Program:
     """variant: 'full' (miller+product+finalexp), 'miller' (per-tile
-    miller+product), 'product' (lane product only, 12 in -> 12 out),
+    miller+product), 'product' (lane product only, GT in -> GT out),
     'reduce' (lane product + finalexp over GT inputs)."""
     assert name in VM_FAMILIES, name
-    from gnark_crypto_tpu.towers.tower12 import TOWER12_PARAMS
-    spec = TOWER12_PARAMS[name][0]
-    asm = vm.Asm(spec)
-    tw = SymTower12(name, asm)
+    nc = _gt_coeffs(name)
+    max_regs = _MAX_REGS[nc]
+
+    if name in _BW6:
+        from gnark_crypto_tpu.pairing.pairing6 import (PairingCtx6,
+                                                       final_exponentiation
+                                                       as finexp6)
+        from gnark_crypto_tpu.towers.tower6 import TOWER6_PARAMS
+
+        spec = TOWER6_PARAMS[name][0]
+        asm = vm.Asm(spec)
+        tw = SymTower6(name, asm)
+        ctx = PairingCtx6(name, tower=tw)
+        gt_eng, fin = tw.e6, lambda z: finexp6(ctx, z)
+        miller = lambda: _sym_miller6(asm, ctx)  # noqa: E731
+    else:
+        from gnark_crypto_tpu.towers.tower12 import TOWER12_PARAMS
+        from gnark_crypto_tpu.towers.tower24 import TOWER24_PARAMS
+
+        params = TOWER24_PARAMS if "bls24" in name else TOWER12_PARAMS
+        spec = params[name][0]
+        asm = vm.Asm(spec)
+        tw = _sym_tower(name, asm)
+        ctx = PairingCtx(name, tower=tw)
+        gt_eng, fin = tw.e12, lambda z: final_exponentiation(ctx, z)
+        miller = lambda: _sym_miller12(asm, ctx)  # noqa: E731
+
     if variant in ("reduce", "product"):
         f = tw.fp
-        facc = np.asarray([f.input(f"f{i}")
-                           for i in range(12)], np.int32).reshape(2, 3, 2)
-        ctx = PairingCtx(name, tower=tw)
-        facc = _sym_lane_product(tw, facc)
+        facc = np.asarray([f.input(f"f{i}") for i in range(nc)],
+                          np.int32).reshape(gt_eng.ones(()).shape)
+        facc = _sym_lane_product(tw, gt_eng, facc)
         if variant == "product":
             return asm.build(
-                {f"g{i}": v for i, v in enumerate(_flat_ids(facc))})
-        gt = final_exponentiation(ctx, facc)
-        return asm.build({f"g{i}": v for i, v in enumerate(_flat_ids(gt))})
-    ctx = PairingCtx(name, tower=tw)
-    facc = _sym_miller(asm, ctx)
-    facc = _sym_lane_product(tw, facc)
+                {f"g{i}": v for i, v in enumerate(_flat_ids(facc))},
+                max_regs=max_regs)
+        gt = fin(facc)
+        return asm.build({f"g{i}": v for i, v in enumerate(_flat_ids(gt))},
+                         max_regs=max_regs)
+
+    facc = miller()
+    facc = _sym_lane_product(tw, gt_eng, facc)
     if variant == "miller":
-        outs = {f"g{i}": v for i, v in enumerate(_flat_ids(facc))}
-        return asm.build(outs)
+        return asm.build(
+            {f"g{i}": v for i, v in enumerate(_flat_ids(facc))},
+            max_regs=max_regs)
     assert variant == "full"
-    gt = final_exponentiation(ctx, facc)
-    return asm.build({f"g{i}": v for i, v in enumerate(_flat_ids(gt))})
+    gt = fin(facc)
+    return asm.build({f"g{i}": v for i, v in enumerate(_flat_ids(gt))},
+                     max_regs=max_regs)
 
 
 def _pad_rows(x, n_pad: int, fill):
@@ -138,21 +259,36 @@ def _pad_rows(x, n_pad: int, fill):
         [x, jnp.broadcast_to(fill, (n_pad - n, L))], axis=0)
 
 
-def pair_vm(name: str, P: Affine, QX, QY, interpret: bool = False):
-    """Reduced pairing prod_i e(P_i, Q_i) via VM programs (1-2 dispatches).
+def _gt_shape(name: str):
+    return {6: (2, 3), 12: (2, 3, 2), 24: (2, 3, 2, 2)}[_gt_coeffs(name)]
 
-    Same result as ``pairing12.pair`` (reference Pair, pairing.go:26).
+
+def pair_vm(name: str, P: Affine, QX, QY, interpret: bool = False):
+    """Reduced pairing prod_i e(P_i, Q_i) via VM programs (1-2 dispatches
+    for batches ≤ TILE^2, logarithmically more beyond).
+
+    Same result as ``pairing/api.pair`` (reference Pair, pairing.go:26).
     """
-    ctx = get_ctx(name)
-    tw = ctx.tower
-    f, e2 = tw.fp, tw.e2
+    if name in _BW6:
+        from gnark_crypto_tpu.pairing.pairing6 import get_ctx6
+
+        ctx = get_ctx6(name)
+        tw = ctx.tower
+        ce = tw.fp
+    else:
+        ctx = get_ctx(name)
+        tw = ctx.tower
+        ce = tw.e2
+    f = tw.fp
     spec = tw.fp_spec
     L = spec.n_limbs
+    nc = _gt_coeffs(name)
+    d = _q_coords(name)
     n = f.eshape(P.x)[0]
     n_pad = -(-n // vm.TILE) * vm.TILE
 
     inf = (f.is_zero(P.x) & f.is_zero(P.y)) | \
-        (e2.is_zero(QX) & e2.is_zero(QY))
+        (ce.is_zero(QX) & ce.is_zero(QY))
     ones = f.broadcast_to(f.ones(), (n,))
     zero = f.zeros((n,))
     m = f.where(inf, zero, ones)
@@ -160,20 +296,21 @@ def pair_vm(name: str, P: Affine, QX, QY, interpret: bool = False):
 
     one_row = jnp.asarray(f.ones())  # Montgomery-form 1, (L,) limbs
     zero_row = jnp.zeros((L,), jnp.int32)
+    qx_flat = jnp.reshape(QX, (n, d, L))
+    qy_flat = jnp.reshape(QY, (n, d, L))
     inputs = {
         "px": _pad_rows(P.x, n_pad, zero_row),
         "py": _pad_rows(P.y, n_pad, zero_row),
-        "qx0": _pad_rows(e2.coeff(QX, 0), n_pad, zero_row),
-        "qx1": _pad_rows(e2.coeff(QX, 1), n_pad, zero_row),
-        "qy0": _pad_rows(e2.coeff(QY, 0), n_pad, zero_row),
-        "qy1": _pad_rows(e2.coeff(QY, 1), n_pad, zero_row),
         "m": _pad_rows(m, n_pad, zero_row),
         "mc": _pad_rows(mc, n_pad, one_row),
     }
+    for i in range(d):
+        inputs[f"qx{i}"] = _pad_rows(qx_flat[:, i], n_pad, zero_row)
+        inputs[f"qy{i}"] = _pad_rows(qy_flat[:, i], n_pad, zero_row)
 
     def gt_from(out, row):
-        coeffs = [out[f"g{i}"][row] for i in range(12)]
-        return jnp.stack(coeffs, 0).reshape(2, 3, 2, L)
+        coeffs = [out[f"g{i}"][row] for i in range(nc)]
+        return jnp.stack(coeffs, 0).reshape(*_gt_shape(name), L)
 
     if n_pad == vm.TILE:
         prog = build_program(name, "full")
@@ -187,7 +324,7 @@ def pair_vm(name: str, P: Affine, QX, QY, interpret: bool = False):
     out1 = vm.execute(prog1, inputs, n_pad, interpret=interpret)
     T = n_pad // vm.TILE
     rows = jnp.arange(T) * vm.TILE
-    vals = [out1[f"g{i}"][rows] for i in range(12)]  # (T, L) per-tile prods
+    vals = [out1[f"g{i}"][rows] for i in range(nc)]
 
     def tile_inputs(vals, t_pad):
         return {f"f{i}": _pad_rows(v, t_pad, one_row if i == 0 else zero_row)
@@ -200,7 +337,7 @@ def pair_vm(name: str, P: Affine, QX, QY, interpret: bool = False):
                            interpret=interpret)
         T = t_pad // vm.TILE
         rows = jnp.arange(T) * vm.TILE
-        vals = [out_p[f"g{i}"][rows] for i in range(12)]
+        vals = [out_p[f"g{i}"][rows] for i in range(nc)]
 
     prog2 = build_program(name, "reduce")
     out2 = vm.execute(prog2, tile_inputs(vals, vm.TILE), vm.TILE,

@@ -219,8 +219,12 @@ def _fr_bytes(fr, v) -> bytes:
 
 
 def _g1_bytes(g1c, p: Affine) -> bytes:
-    """Raw uncompressed X||Y bytes (stand-in for marshal; see io/)."""
-    return (g1c.fp.to_bytes_host(p.x)[0] + g1c.fp.to_bytes_host(p.y)[0])
+    """Compressed point bytes — gnark's ``digest.Marshal()`` == ``Bytes()``
+    is the COMPRESSED encoding (kzg.go:566 binds these into the gamma
+    transcript), so byte parity requires the real marshal codec here."""
+    from gnark_crypto_tpu.io.marshal import PointCodec
+
+    return PointCodec(g1c).to_bytes(p)[0]
 
 
 @dataclasses.dataclass

@@ -20,7 +20,9 @@ import numpy as np
 from gnark_crypto_tpu.field.pallas import vm
 from gnark_crypto_tpu.specs.field import FieldSpec
 from gnark_crypto_tpu.towers.engine import CubicExtEngine, QuadExtEngine
+from gnark_crypto_tpu.towers.tower6 import Tower6 as Tower6_
 from gnark_crypto_tpu.towers.tower12 import TOWER12_PARAMS, Tower12
+from gnark_crypto_tpu.towers.tower24 import Tower24 as Tower24_
 
 
 class SymField:
@@ -208,4 +210,52 @@ class SymTower12(Tower12):
 
     def rot(self, x, lanes: int):
         """Lane-rotate every fp coefficient (for in-kernel product trees)."""
+        return self.fp.rot(x, lanes)
+
+
+class SymTower24(Tower24_):
+    """Tower24 over a symbolic fp engine (BLS24 VM pairing programs)."""
+
+    def __init__(self, name: str, asm: vm.Asm):
+        from gnark_crypto_tpu.towers.tower24 import TOWER24_PARAMS
+        spec, beta, v_sq = TOWER24_PARAMS[name]
+        super().__init__(name, spec, beta, v_sq=v_sq,
+                         fp=SymField(spec, asm),
+                         quad_cls=SymQuadExt, cubic_cls=SymCubicExt)
+
+    def exp_cyclotomic(self, x, e: int):
+        if e == 0:
+            return self.e12.broadcast_to(self.e12.ones(),
+                                         self.e12.eshape(x))
+        res = x
+        for bit in bin(e)[3:]:
+            res = self.cyclotomic_square(res)
+            if bit == "1":
+                res = self.e12.mul(res, x)
+        return res
+
+    def rot(self, x, lanes: int):
+        return self.fp.rot(x, lanes)
+
+
+class SymTower6(Tower6_):
+    """Tower6 over a symbolic fp engine (BW6 VM pairing programs)."""
+
+    def __init__(self, name: str, asm: vm.Asm):
+        from gnark_crypto_tpu.towers.tower6 import TOWER6_PARAMS
+        spec, nr = TOWER6_PARAMS[name]
+        super().__init__(name, spec, nr, fp=SymField(spec, asm),
+                         quad_cls=SymQuadExt, cubic_cls=SymCubicExt)
+
+    def exp_cyclotomic(self, x, e: int):
+        if e == 0:
+            return self.e6.broadcast_to(self.e6.ones(), self.e6.eshape(x))
+        res = x
+        for bit in bin(e)[3:]:
+            res = self.cyclotomic_square(res)
+            if bit == "1":
+                res = self.e6.mul(res, x)
+        return res
+
+    def rot(self, x, lanes: int):
         return self.fp.rot(x, lanes)

@@ -51,17 +51,20 @@ def _h4_pow(a, e, p, beta, vsq=(0, 1)):
 
 class Tower24:
     def __init__(self, name: str, fp_spec: FieldSpec, beta: int,
-                 v_sq=(0, 1)):
+                 v_sq=(0, 1), fp=None, quad_cls=QuadExtEngine,
+                 cubic_cls=CubicExtEngine):
         """``beta``: E2 non-residue (u^2 = beta); ``v_sq``: E4 non-residue as
         an E2 pair (v^2 = v_sq). bls24-315: beta=13, v^2=u (e2.go:201);
-        bls24-317: beta=-1, v^2=1+u (e2_bls317.go:35 MulByNonResidue)."""
+        bls24-317: beta=-1, v^2=1+u (e2_bls317.go:35 MulByNonResidue).
+        ``fp``/``quad_cls``/``cubic_cls``: engine injection for the symbolic
+        VM-program emitter (towers/symbolic.py), like Tower12."""
         self.name = name
         self.fp_spec = fp_spec
         self.p = fp_spec.modulus
         self.beta = beta
         self.v_sq = v_sq
-        self.fp: FieldEngine = for_spec(fp_spec)
-        e2 = QuadExtEngine(self.fp, beta, tag=f"{name}_e2")
+        self.fp: FieldEngine = fp or for_spec(fp_spec)
+        e2 = quad_cls(self.fp, beta, tag=f"{name}_e2")
 
         if v_sq == (0, 1):
             def mul_by_vsq(a, _b=e2):
@@ -83,17 +86,17 @@ class Tower24:
             def mul_by_vsq(a, _b=e2):
                 return _b.mul(a, _b.broadcast_to(_vsq_dev, _b.eshape(a)))
 
-        e4 = QuadExtEngine(e2, v_sq, mul_by_nr=mul_by_vsq, tag=f"{name}_e4")
+        e4 = quad_cls(e2, v_sq, mul_by_nr=mul_by_vsq, tag=f"{name}_e4")
 
         def mul_by_v(a, _b=e4):
             # (A0 + A1 v) * v = v_sq*A1 + A0 v  (A_i in E2)
             a0, a1 = _b.coeff(a, 0), _b.coeff(a, 1)
             return _b.build([mul_by_vsq(a1), a0])
 
-        e12 = CubicExtEngine(e4, ((0, 0), (1, 0)), mul_by_nr=mul_by_v,
-                             tag=f"{name}_e12")
-        e24 = QuadExtEngine(e12, None, mul_by_nr=e12.mul_by_v,
-                            tag=f"{name}_e24")
+        e12 = cubic_cls(e4, ((0, 0), (1, 0)), mul_by_nr=mul_by_v,
+                        tag=f"{name}_e12")
+        e24 = quad_cls(e12, None, mul_by_nr=e12.mul_by_v,
+                       tag=f"{name}_e24")
         self.e2_fp = e2
         # naming parity with Tower12 so the pairing machinery is reusable:
         # .e2 = coefficient-level engine, .e6 = cubic level, .e12 = top level
@@ -256,12 +259,26 @@ def _scale_ext_by_fp(tw, ext_elem, fp_scalar):
 
 
 @functools.lru_cache(maxsize=None)
-def get_tower24(name: str) -> Tower24:
+def _tower24_params():
     from gnark_crypto_tpu.specs import field as fs
-    if name == "bls24_315":
-        # fptower e2.go:201 — u^2 = 13
-        return Tower24("bls24_315", fs.BLS24_315_FP, 13)
-    if name == "bls24_317":
+    return {
+        # fptower e2.go:201 — u^2 = 13; v^2 = u
+        "bls24_315": (fs.BLS24_315_FP, 13, (0, 1)),
         # fptower e2_bls317.go: u^2 = -1; e2_bls317.go:35 v^2 = 1+u
-        return Tower24("bls24_317", fs.BLS24_317_FP, -1, v_sq=(1, 1))
-    raise KeyError(name)
+        "bls24_317": (fs.BLS24_317_FP, -1, (1, 1)),
+    }
+
+
+class _LazyParams24(dict):
+    def __missing__(self, key):
+        self.update(_tower24_params())
+        return dict.__getitem__(self, key)
+
+
+TOWER24_PARAMS = _LazyParams24()
+
+
+@functools.lru_cache(maxsize=None)
+def get_tower24(name: str) -> Tower24:
+    spec, beta, v_sq = TOWER24_PARAMS[name]
+    return Tower24(name, spec, beta, v_sq=v_sq)

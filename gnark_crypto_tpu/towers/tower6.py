@@ -56,15 +56,16 @@ def _h6_pow(a, e, p, nr):
 class Tower6:
     """Fp6 tower with Frobenius/conjugate for BW6 pairings."""
 
-    def __init__(self, name: str, fp_spec: FieldSpec, nr: int):
+    def __init__(self, name: str, fp_spec: FieldSpec, nr: int, fp=None,
+                 quad_cls=QuadExtEngine, cubic_cls=CubicExtEngine):
         self.name = name
         self.fp_spec = fp_spec
         self.p = fp_spec.modulus
         self.nr = nr
-        self.fp: FieldEngine = for_spec(fp_spec)
-        e3 = CubicExtEngine(self.fp, nr, tag=f"{name}_e3")
-        e6 = QuadExtEngine(e3, None, mul_by_nr=e3.mul_by_v,
-                           tag=f"{name}_e6")
+        self.fp: FieldEngine = fp or for_spec(fp_spec)
+        e3 = cubic_cls(self.fp, nr, tag=f"{name}_e3")
+        e6 = quad_cls(e3, None, mul_by_nr=e3.mul_by_v,
+                      tag=f"{name}_e6")
         self.e3 = e3
         self.e6 = e6
         self._precompute_frobenius()
@@ -130,7 +131,9 @@ class Tower6:
 
 
 def _scale_by_fp(tw, ext_elem, fp_scalar):
-    """Scale an E6 constant by an fp coordinate array (componentwise)."""
+    """Scale an E6 constant by an fp coordinate array (componentwise).
+    Uses f.mul so both the device engines and the symbolic program-emitting
+    engine work (f.mul broadcasts over the inserted extension axes)."""
     f = tw.fp
     extra = ext_elem.ndim - fp_scalar.ndim
     s = fp_scalar
@@ -140,18 +143,29 @@ def _scale_by_fp(tw, ext_elem, fp_scalar):
     else:
         for _ in range(extra):
             s = s[..., None]
-    from gnark_crypto_tpu.field import f31, mont
+    return f.mul(ext_elem, s)
 
-    impl = mont if f.elem_dims else f31
-    return impl.mul(f.spec, ext_elem, s)
+
+def _tower6_params():
+    from gnark_crypto_tpu.specs import field as fs
+    return {
+        # fp/bw6_utils.go: u^3 = -4
+        "bw6_761": (fs.BW6_761_FP, -4),
+        # fp/bw6_utils.go (bw6-633): u^3 = 2
+        "bw6_633": (fs.BW6_633_FP, 2),
+    }
+
+
+class _LazyParams6(dict):
+    def __missing__(self, key):
+        self.update(_tower6_params())
+        return dict.__getitem__(self, key)
+
+
+TOWER6_PARAMS = _LazyParams6()
 
 
 @functools.lru_cache(maxsize=None)
 def get_tower6(name: str) -> Tower6:
-    from gnark_crypto_tpu.specs import field as fs
-    if name == "bw6_761":
-        return Tower6("bw6_761", fs.BW6_761_FP, -4)
-    if name == "bw6_633":
-        # fp/bw6_utils.go (bw6-633): u^3 = 2
-        return Tower6("bw6_633", fs.BW6_633_FP, 2)
-    raise KeyError(name)
+    spec, nr = TOWER6_PARAMS[name]
+    return Tower6(name, spec, nr)

@@ -101,3 +101,33 @@ def test_bw6_761_kzg_roundtrip():
         fr.from_mont(fr.add(fr.to_mont(proof.claimed_value),
                             fr.to_mont(fr.from_int([1], mont=False)))))
     assert not bool(np.asarray(kzg.verify(name, com, bad, point, srs.vk)))
+
+
+@pytest.mark.parametrize("name", ["bw6_761", "bw6_633"])
+def test_bw6_pair_fixed_q_matches_pair(name):
+    """PrecomputeLines + PairFixedQ == Pair (reference bw6-761
+    pairing.go:408,838), batch of 2 distinct pairs + an infinity P."""
+    from gnark_crypto_tpu.pairing import lines as ln
+
+    g1 = curve_ops(cs.get_curve(f"{name}_g1"))
+    g2 = curve_ops(cs.get_curve(f"{name}_g2"))
+
+    P, P2 = scaled_gen(g1, 5), scaled_gen(g1, 11)
+    Q, Q2 = scaled_gen(g2, 7), scaled_gen(g2, 3)
+    Pb = Affine(*(np.concatenate([np.asarray(a), np.asarray(b)])
+                  for a, b in zip(P, P2)))
+    QX = np.concatenate([np.asarray(Q.x), np.asarray(Q2.x)])
+    QY = np.concatenate([np.asarray(Q.y), np.asarray(Q2.y)])
+
+    want = pairing6.pair(name, Pb, QX, QY)
+    tabs = ln.precompute_lines(name, QX, QY)
+    got = ln.pair_fixed_q(name, Pb, tabs)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+    # infinity P contributes 1 (1/0 == 0 convention, pairing.go:845-858)
+    zero = np.zeros_like(np.asarray(P.x))
+    Pinf = Affine(np.concatenate([np.asarray(P.x), zero]),
+                  np.concatenate([np.asarray(P.y), zero]))
+    got2 = ln.pair_fixed_q(name, Pinf, tabs)
+    want2 = pairing6.pair(name, P, Q.x, Q.y)
+    assert np.array_equal(np.asarray(got2), np.asarray(want2))

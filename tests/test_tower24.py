@@ -63,3 +63,38 @@ def test_e24_cyclotomic():
     one = e24.broadcast_to(e24.ones(), (1,))
     assert np.array_equal(
         np.asarray(e24.mul(y, tw.inverse_cyclotomic(y))), np.asarray(one))
+
+
+@pytest.mark.parametrize("name", ["bls24_315", "bls24_317"])
+def test_bls24_pair_fixed_q_matches_pair(name):
+    """PrecomputeLines + PairFixedQ == Pair for the BLS24 family
+    (reference bls24-315 pairing.go:394 PrecomputeLines; dense E24 line
+    products, bit-identical to MulBy34/MulBy01)."""
+    from gnark_crypto_tpu.curve.g2 import g2_curve
+    from gnark_crypto_tpu.curve.jacobian import Affine, curve_ops
+    from gnark_crypto_tpu.pairing import lines as ln
+    from gnark_crypto_tpu.pairing import pairing12
+    from gnark_crypto_tpu.specs import curve as cs
+
+    g1 = curve_ops(cs.get_curve(f"{name}_g1"))
+    g2 = g2_curve(name)
+
+    def sg(curve, k):
+        g = curve.generator_affine()
+        g = Affine(curve.fp.broadcast_to(g.x, (1,)),
+                   curve.fp.broadcast_to(g.y, (1,)))
+        kk = curve.fr.from_int([k], mont=False)
+        return curve.to_affine(curve.scalar_mul(curve.from_affine(g), kk,
+                                                nbits=8))
+
+    P, P2 = sg(g1, 5), sg(g1, 11)
+    Q, Q2 = sg(g2, 7), sg(g2, 3)
+    Pb = Affine(*(np.concatenate([np.asarray(a), np.asarray(b)])
+                  for a, b in zip(P, P2)))
+    QX = np.concatenate([np.asarray(Q.x), np.asarray(Q2.x)])
+    QY = np.concatenate([np.asarray(Q.y), np.asarray(Q2.y)])
+
+    want = pairing12.pair(name, Pb, QX, QY)
+    tabs = ln.precompute_lines(name, QX, QY)
+    got = ln.pair_fixed_q(name, Pb, tabs)
+    assert np.array_equal(np.asarray(got), np.asarray(want))

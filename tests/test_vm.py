@@ -148,30 +148,35 @@ def test_vm_product_program():
     assert np.array_equal(got, np.asarray(acc))
 
 
-@pytest.mark.parametrize("name", ["bls12_377"])
-def test_vm_pairing_program_builds(name):
+@pytest.mark.parametrize("name,variants", [
+    ("bls12_377", ("full", "miller", "product", "reduce")),
+    ("bls24_315", ("full",)),
+    ("bls24_317", ("full",)),
+    ("bw6_761", ("full",)),
+    ("bw6_633", ("full", "miller", "product", "reduce")),
+])
+def test_vm_pairing_program_builds(name, variants):
     """Register allocation + symbolic trace succeed for every VM family
     (a spill or formula mismatch would otherwise first surface on-device;
     ADVICE r3). Build-only: no execution."""
     from gnark_crypto_tpu.pairing.vm_pairing import build_program
-    for variant in ("full", "miller", "product", "reduce"):
+    for variant in variants:
         prog = build_program(name, variant)
         assert prog.n_instrs > 0
 
 
-@pytest.mark.slow
-@pytest.mark.parametrize("name", ["bn254", "bls12_381", "bls12_377"])
-def test_vm_pairing_vs_reference_path(name):
-    """Full VM pairing (miller+product+finalexp, one program) against the
-    step-kernel pairing path, with one infinite pair exercising the lane
-    masks. Interpret-mode: minutes-scale, marked slow."""
-    from gnark_crypto_tpu.curve.g2 import g2_curve
+def _vm_pair_case(name):
     from gnark_crypto_tpu.curve.jacobian import Affine, curve_ops
-    from gnark_crypto_tpu.pairing import pairing12, vm_pairing
+    from gnark_crypto_tpu.pairing import api as papi
     from gnark_crypto_tpu.specs import curve as cs
 
     g1 = curve_ops(cs.get_curve(f"{name}_g1"))
-    g2 = g2_curve(name)
+    if name.startswith("bw6"):
+        g2 = curve_ops(cs.get_curve(f"{name}_g2"))
+    else:
+        from gnark_crypto_tpu.curve.g2 import g2_curve
+
+        g2 = g2_curve(name)
     gp, gq = g1.generator_affine(), g2.generator_affine()
     n = 3
     P = Affine(g1.fp.broadcast_to(gp.x, (n,)),
@@ -180,8 +185,19 @@ def test_vm_pairing_vs_reference_path(name):
     QY = g2.fp.broadcast_to(gq.y, (n,))
     sc = g1.fr.from_int([2, 0, 3], mont=False)
     Pa = g1.to_affine(g1.scalar_mul(g1.from_affine(P), sc, nbits=3))
-    P = Affine(Pa.x, Pa.y)
+    return papi, Affine(Pa.x, Pa.y), QX, QY
 
-    ref = pairing12.pair(name, P, QX, QY)
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "name", ["bn254", "bls12_381", "bls12_377", "bls24_317", "bw6_633"])
+def test_vm_pairing_vs_reference_path(name):
+    """Full VM pairing (miller+product+finalexp, one program) against the
+    step-kernel pairing path, with one infinite pair exercising the lane
+    masks. Interpret-mode: minutes-scale, marked slow."""
+    from gnark_crypto_tpu.pairing import vm_pairing
+
+    papi, P, QX, QY = _vm_pair_case(name)
+    ref = papi.pair(name, P, QX, QY)
     got = vm_pairing.pair_vm(name, P, QX, QY, interpret=True)
     assert np.array_equal(np.asarray(got), np.asarray(ref))
