@@ -6,6 +6,7 @@ same op set regardless of representation:
 
   * multi-limb fields: ``int32[..., L]`` (field/mont.py), elem_dims=1
   * 31-bit fields:     ``uint32[...]``   (field/f31.py),  elem_dims=0
+  * goldilocks:        ``uint32[..., 2]`` (field/f64.py), elem_dims=1
 
 Engines are created once per spec (identity-cached) so they are safe to use
 as jit static arguments.
@@ -17,7 +18,7 @@ import functools
 
 import jax.numpy as jnp
 
-from gnark_crypto_tpu.field import f31, mont
+from gnark_crypto_tpu.field import f31, f64, mont
 from gnark_crypto_tpu.specs.field import FieldSpec
 
 _DELEGATED = [
@@ -32,7 +33,8 @@ class FieldEngine:
     def __init__(self, spec: FieldSpec, impl):
         self.spec = spec
         self._impl = impl
-        self.elem_dims = 1 if impl is mont else 0
+        # trailing element dims: limb axis (mont) / [lo, hi] pair (f64)
+        self.elem_dims = 0 if impl is f31 else 1
         for name in _DELEGATED:
             fn = getattr(impl, name, None)
             if fn is not None:
@@ -86,6 +88,8 @@ class FieldEngine:
 def for_spec(spec: FieldSpec) -> FieldEngine:
     if spec.n_limbs == 1 and spec.limb_bits == 32:
         return FieldEngine(spec, f31)
+    if spec.n_limbs == 2 and spec.limb_bits == 32:
+        return FieldEngine(spec, f64)
     return FieldEngine(spec, mont)
 
 

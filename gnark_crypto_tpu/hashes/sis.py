@@ -122,7 +122,8 @@ class RSis:
                     sh = ls - lo
                     part = piece << sh if sh >= 0 else piece >> (-sh)
                     acc = part if acc is None else acc | part
-                vals.append((acc if acc is not None else jnp.zeros(n, jnp.int32))
+                vals.append((acc if acc is not None
+                             else jnp.zeros(n, v.dtype))
                             & ((1 << b) - 1))
             limbs = jnp.stack(vals, axis=1)  # (N, limbs_per_elem)
         else:
@@ -147,11 +148,16 @@ class RSis:
         # folded into the key (see __init__ _radix_corr).
         if eng.elem_dims:
             limbs = self._decompose(v)
-            memb = jnp.zeros((*limbs.shape, self.spec.n_limbs), jnp.int32)
             lb = self.spec.limb_bits
+            # f64 stores uint32 words (lb == 32: no mask — it would not fit
+            # in int32 and a whole word passes through unmasked anyway)
+            dt = jnp.uint32 if lb == 32 else jnp.int32
+            memb = jnp.zeros((*limbs.shape, self.spec.n_limbs), dt)
             for i in range(-(-self.log_two_bound // lb)):
-                memb = memb.at[..., i].set(
-                    (limbs >> (i * lb)) & ((1 << lb) - 1))
+                piece = limbs >> (i * lb)
+                if lb < 32:
+                    piece = piece & ((1 << lb) - 1)
+                memb = memb.at[..., i].set(piece.astype(dt))
             m = memb
         else:
             m = self._decompose(v)

@@ -107,6 +107,7 @@ def make_field_spec(
     limb_bits: int | None = None,
     generator: int | None = None,
     two_adic_root: int | None = None,
+    n_limbs: int | None = None,
 ) -> FieldSpec:
     """Derive all Montgomery/NTT constants from the modulus.
 
@@ -126,11 +127,12 @@ def make_field_spec(
             limb_bits = 12
         else:
             limb_bits = 11
-    if nbits <= limb_bits:
-        n_limbs = 1
-    else:
-        # one headroom bit so that values < 2q fit in L limbs (lazy reduction)
-        n_limbs = -(-(nbits + 1) // limb_bits)
+    if n_limbs is None:
+        if nbits <= limb_bits:
+            n_limbs = 1
+        else:
+            # one headroom bit so values < 2q fit in L limbs (lazy reduction)
+            n_limbs = -(-(nbits + 1) // limb_bits)
     radix = 1 << (limb_bits * n_limbs)
     r = radix % modulus
     r2 = (r * r) % modulus
@@ -276,10 +278,14 @@ STARK_FP = register(make_field_spec(
 ))
 
 # -- standalone small fields -------------------------------------------------
-# (single int32 lane; dedicated engine in field/f31.py / field/goldilocks.py)
+# (single int32 lane / uint32 pair; dedicated engines in field/f31.py and
+# field/f64.py)
 
+# limb_bits=32, n_limbs=2: uint32 [lo, hi] pair, Montgomery radix 2^64 —
+# matching the reference's single-word representation
+# (field/goldilocks/element.go:36); strict reduction needs no headroom limb.
 GOLDILOCKS = register(make_field_spec(
-    "goldilocks", 0xFFFFFFFF00000001, limb_bits=13, generator=7,
+    "goldilocks", 0xFFFFFFFF00000001, limb_bits=32, generator=7, n_limbs=2,
 ))
 # limb_bits=32: single uint32 lane, Montgomery radix 2^32 (Plonky3-style —
 # the reference's AVX-512 F31 kernels use the same radix,

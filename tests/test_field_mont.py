@@ -13,7 +13,8 @@ from gnark_crypto_tpu.field import mont
 from gnark_crypto_tpu.specs import field as fs
 
 # one small, one medium, one wide field to cover limb configurations
-SPECS = [fs.BN254_FR, fs.BLS12_381_FP, fs.BW6_761_FP, fs.SECP256K1_FR, fs.GOLDILOCKS]
+# (goldilocks moved to the dedicated f64 engine — tests/test_field_f64.py)
+SPECS = [fs.BN254_FR, fs.BLS12_381_FP, fs.BW6_761_FP, fs.SECP256K1_FR]
 IDS = [s.name for s in SPECS]
 
 
@@ -153,7 +154,7 @@ def test_np_codec_matches_python_path():
     from gnark_crypto_tpu.field import mont, mont_np
     from gnark_crypto_tpu.specs import field as fs
 
-    for spec in (fs.BN254_FR, fs.BLS12_381_FP, fs.get_field("goldilocks")):
+    for spec in (fs.BN254_FR, fs.BLS12_381_FP, fs.SECP256K1_FR):
         rng = random.Random(hash(spec.name) & 0xFFFF)
         vals = [0, 1, spec.modulus - 1] + [rng.randrange(spec.modulus)
                                            for _ in range(13)]
