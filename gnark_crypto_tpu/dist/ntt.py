@@ -32,7 +32,8 @@ from gnark_crypto_tpu.utils.scans import exp_table
 
 
 class DistDomain:
-    def __init__(self, spec: FieldSpec, n: int, mesh: Mesh, axis: str = "sp"):
+    def __init__(self, spec: FieldSpec, n: int, mesh: Mesh, axis: str = "sp",
+                 with_coset: bool = False, shift: int | None = None):
         self.spec = spec
         self.eng = for_spec(spec)
         self.mesh = mesh
@@ -60,16 +61,45 @@ class DistDomain:
         _, tbl = lax.scan(body, eng.broadcast_to(eng.ones(), (self.n2,)),
                           None, length=self.n1)
         self.twiddle = tbl  # (n1, n2) elements
+        q = spec.modulus
+        self.n_inv = eng.from_int(pow(n, -1, q))
+        # coset tables (domain.go:24-58 semantics: scale by shift^i before
+        # the forward transform, by shift^-i after the inverse), built as
+        # outer products so no length-n scan is needed
+        self.shift_int = (spec.generator if shift is None else shift) % q
+        self.shift_inv_int = pow(self.shift_int, -1, q)
+        if with_coset:
+            self.coset_table = self._outer_table(self.shift_int)
+            self.coset_table_inv = self._outer_table(self.shift_inv_int)
+        else:
+            self.coset_table = None
+            self.coset_table_inv = None
+
+    def _outer_table(self, base: int):
+        """shift^(i1*n2 + i2) as a flat (n,) element array: outer product of
+        exp tables of length n1 (stride n2) and n2."""
+        eng = self.eng
+        q = self.spec.modulus
+        row = exp_table(eng, eng.from_int(base), self.n2)
+        col = exp_table(eng, eng.from_int(pow(base, self.n2, q)), self.n1)
+        cb = eng.broadcast_to(eng.reshape(col, (self.n1, 1)),
+                              (self.n1, self.n2))
+        rb = eng.broadcast_to(eng.reshape(row, (1, self.n2)),
+                              (self.n1, self.n2))
+        return eng.reshape(eng.mul(cb, rb), (self.n,))
 
     def _local_fft(self, dom, block, batch_axis):
         """DFT along the non-batch axis of a 2-axis element array."""
         fn = lambda v: fftm.bit_reverse(fftm.fft(dom, v, fftm.DIF))
         return jax.vmap(fn, in_axes=batch_axis, out_axes=batch_axis)(block)
 
-    def fft(self, a):
+    def fft(self, a, coset: bool = False):
         """a: (n,) element array sharded over the leading axis ->
-        natural-order DFT, sharded over the leading axis."""
+        natural-order DFT, sharded over the leading axis. ``coset=True``
+        evaluates on shift*<w> (pre-scale by shift^i, fft.go:44-82)."""
         eng = self.eng
+        if coset:
+            a = eng.mul(a, self.coset_table)
         n1, n2 = self.n1, self.n2
         d = self.mesh.devices.size
         ax = self.axis
@@ -102,3 +132,20 @@ class DistDomain:
         # natural order: X[j], j = k1 + n1*k2 -> transpose to (n2, n1)
         out = jnp.swapaxes(out, 0, 1).reshape(self.n, *a.shape[1:])
         return out
+
+    def ifft(self, x, coset: bool = False):
+        """Natural-order inverse DFT (+ 1/n scale; + shift^-i unscale when
+        ``coset=True``), input/output sharded over the leading axis.
+
+        Uses IDFT[j] = (1/n) * DFT[(-j) mod n]: the forward 4-step program
+        is reused verbatim and the index reversal is one cyclic flip (a
+        single resharding permutation over ICI) — no w^-1 twiddle tables or
+        inverse local domains needed.
+        """
+        eng = self.eng
+        y = self.fft(x)
+        y = jnp.concatenate([y[:1], y[1:][::-1]], axis=0)  # j -> -j mod n
+        y = eng.mul(y, eng.broadcast_to(self.n_inv, (self.n,)))
+        if coset:
+            y = eng.mul(y, self.coset_table_inv)
+        return y
