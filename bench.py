@@ -111,26 +111,75 @@ def bench_f31_ntt(n=1 << 20, iters=20):
     return _f31_ntt_once(n, iters)
 
 
-def bench_msm(n=1 << 16, iters=4):
-    """bn254 G1 MSM (BenchmarkMultiExpG1, multiexp_test.go:301). Points are
-    generated ON DEVICE ([i+1]G via a 17-bit ladder) — the axon tunnel moves
-    ~40 MB/s, so shipping 2^16 affine points from host would dominate."""
+def bench_goldilocks_ntt(n=1 << 20, iters=10):
+    """goldilocks NTT on the 2x32 pair engine (field/f64.py; the reference's
+    field/goldilocks fft tier)."""
     import jax
+    import jax.numpy as jnp
+    from gnark_crypto_tpu.ntt import fft as fftm
+    from gnark_crypto_tpu.ntt.domain import Domain
+    from gnark_crypto_tpu.specs import field as fs
+
+    spec = fs.GOLDILOCKS
+    dom = Domain(spec, n, with_coset=False)
+    fn = jax.jit(lambda a: fftm.fft(dom, a, fftm.DIF))
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(
+        rng.integers(0, 1 << 32, size=(n, 2), dtype=np.uint32))
+    a = a.at[:, 1].set(a[:, 1] & np.uint32(0x7FFFFFFF))  # < q
+    r = fn(a)
+    np.asarray(r[:1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(r)
+    np.asarray(r[:1])
+    dt = (time.perf_counter() - t0) / iters
+    return n / dt, dt
+
+
+_MSM_BASE = {}
+
+
+def _msm_points_scalars(n):
+    """MSM bench inputs: 2^16 distinct on-device points ([i+1]G via a
+    17-bit ladder — the axon tunnel moves ~40 MB/s so host transfer would
+    dominate) tiled to n (MSM cost is value-independent; the 2^20 on-device
+    generation ladder OOMed the worker in round 3), plus on-device random
+    scalars (uniform 13-bit limb rows masked < 2^253 < r)."""
+    import jax
+    import jax.numpy as jnp
     from gnark_crypto_tpu.curve.jacobian import Affine, curve_ops
-    from gnark_crypto_tpu.msm.pippenger import msm
     from gnark_crypto_tpu.specs import curve as cs
 
     spec = cs.get_curve("bn254_g1")
     curve = curve_ops(spec)
-    g = curve.generator_affine()
-    base = curve.from_affine(Affine(
-        curve.fp.broadcast_to(g.x, (n,)), curve.fp.broadcast_to(g.y, (n,))))
-    small = curve.fr.from_int([i + 1 for i in range(n)], mont=False)
-    pts = curve.to_affine(curve.scalar_mul(base, small, nbits=17))
-    rng = np.random.default_rng(1)
-    r = spec.fr.modulus
-    ks = [int.from_bytes(rng.bytes(32), "big") % r for _ in range(n)]
-    k_dev = curve.fr.from_int(ks, mont=False)
+    nbase = min(n, 1 << 16)
+    if "pts" not in _MSM_BASE:
+        g = curve.generator_affine()
+        base = curve.from_affine(Affine(
+            curve.fp.broadcast_to(g.x, (nbase,)),
+            curve.fp.broadcast_to(g.y, (nbase,))))
+        small = curve.fr.from_int([i + 1 for i in range(nbase)], mont=False)
+        _MSM_BASE["pts"] = curve.to_affine(
+            curve.scalar_mul(base, small, nbits=17))
+    p16 = _MSM_BASE["pts"]
+    reps = n // nbase
+    pts = p16 if reps == 1 else Affine(jnp.tile(p16.x, (reps, 1)),
+                                       jnp.tile(p16.y, (reps, 1)))
+    fr = spec.fr
+    b, L = fr.limb_bits, fr.n_limbs
+    raw = jax.random.randint(jax.random.PRNGKey(n), (n, L), 0, 1 << b,
+                             dtype=jnp.int32)
+    mask = jnp.asarray([(1 << b) - 1] * (L - 1)
+                       + [(1 << (253 - b * (L - 1))) - 1], jnp.int32)
+    return spec, pts, raw & mask
+
+
+def bench_msm(n=1 << 16, iters=4):
+    """bn254 G1 MSM (BenchmarkMultiExpG1, multiexp_test.go:301)."""
+    from gnark_crypto_tpu.msm.pippenger import msm
+
+    spec, pts, k_dev = _msm_points_scalars(n)
 
     fell_back = False
     try:
@@ -269,10 +318,15 @@ def main():
     _emit(ntt_rate, extra)  # primary metric is safe from here on
     # (name, fn, rough compile budget needed to even start it)
     for key, fn, need in [("koalabear_ntt_2^20", bench_f31_ntt, 120),
+                          ("goldilocks_ntt_2^20", bench_goldilocks_ntt, 120),
                           ("bn254_g1_msm_2^16", bench_msm, 400),
                           ("bn254_pairing_x2048", bench_pairing, 500),
                           ("koalabear_poseidon2_16_2^16", bench_poseidon2,
-                           60)]:
+                           60),
+                          ("bn254_g1_msm_2^20",
+                           lambda: bench_msm(1 << 20, iters=2), 420),
+                          ("bn254_g1_msm_2^24",
+                           lambda: bench_msm(1 << 24, iters=1), 800)]:
         if _time_left() < need:
             extra[key + "_skipped"] = f"deadline ({round(_time_left())}s left)"
             continue

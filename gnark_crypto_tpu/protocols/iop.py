@@ -122,14 +122,46 @@ def from_canonical(spec: FieldSpec, coeffs) -> Polynomial:
     return Polynomial(spec, coeffs, Basis.CANONICAL, Layout.REGULAR)
 
 
+def to_lagrange_batch(polys: list[Polynomial], coset: bool = False
+                      ) -> list[Polynomial]:
+    """Convert many polynomials to (LAGRANGE[_COSET], REGULAR) with batched
+    transforms: same-(basis, layout, n) groups run ONE ``fft_batch`` (the
+    reference's quotient pipeline loops per-poly domain.FFT calls,
+    iop/quotient.go:21 — here dozens of rows fuse into one program).
+    """
+    target = Basis.LAGRANGE_COSET if coset else Basis.LAGRANGE
+    out: list[Polynomial | None] = [None] * len(polys)
+    groups: dict[tuple, list[int]] = {}
+    for i, p in enumerate(polys):
+        if p.basis == Basis.CANONICAL:
+            groups.setdefault((p.layout, p.n), []).append(i)
+        else:  # already Lagrange-family (or coset mismatch): per-poly path
+            out[i] = p.to_lagrange(coset).to_regular()
+    for (layout, n), idxs in groups.items():
+        eng = polys[idxs[0]].eng
+        dom = _domain(polys[idxs[0]].spec, n)
+        batch = jnp.stack([eng.to_mont(polys[i].values) for i in idxs])
+        if layout == Layout.REGULAR:
+            ev = fftm.fft_batch(dom, batch, fftm.DIF, coset=coset)
+            # DIF output is bit-reversed: undo along axis 1
+            ev = jnp.take(ev, jnp.asarray(fftm._bitrev_perm(n)), axis=1)
+        else:
+            ev = fftm.fft_batch(dom, batch, fftm.DIT, coset=coset)
+        ev = eng.from_mont(ev)
+        for j, i in enumerate(idxs):
+            out[i] = Polynomial(polys[i].spec, ev[j], target, Layout.REGULAR)
+    return out
+
+
 def evaluate_expression(spec: FieldSpec, fn, *polys: Polynomial) -> Polynomial:
     """Pointwise expression over Lagrange vectors (iop/expressions.go:17).
 
     fn receives Montgomery-form value arrays and the engine; all inputs are
-    converted to (LAGRANGE, REGULAR).
+    converted to (LAGRANGE, REGULAR) — canonical inputs in one batched FFT.
     """
     eng = for_spec(spec)
-    vals = [eng.to_mont(p.to_lagrange().to_regular().values) for p in polys]
+    lag = to_lagrange_batch(list(polys))
+    vals = [eng.to_mont(p.values) for p in lag]
     out = fn(eng, *vals)
     return Polynomial(spec, eng.from_mont(out), Basis.LAGRANGE, Layout.REGULAR)
 

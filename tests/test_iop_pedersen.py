@@ -119,3 +119,46 @@ def test_pedersen_batch_verify_multi_vk():
     bad = [poks[0], Affine(poks[1].x, g1c.fp.neg(poks[1].y))]
     assert not bool(np.asarray(
         pedersen.batch_verify_multi_vk(name, vks, coms, bad, coeff)))
+
+
+def test_evaluate_expression_batched():
+    """evaluate_expression (iop/expressions.go:17) over mixed-basis inputs:
+    result == pointwise oracle on evaluations at g^i."""
+    n = 16
+    q = SPEC.modulus
+    eng = iop.for_spec(SPEC)
+    p1 = rand_poly(n, 21)                         # canonical / regular
+    p2 = rand_poly(n, 22).to_lagrange()           # lagrange / bit-reverse
+    p3 = rand_poly(n, 23).to_canonical().to_bit_reverse()  # canon / bitrev
+
+    out = iop.evaluate_expression(
+        SPEC, lambda e, a, b, c: e.add(e.mul(a, b), c), p1, p2, p3)
+    assert out.basis == iop.Basis.LAGRANGE
+    assert out.layout == iop.Layout.REGULAR
+
+    dom = iop._domain(SPEC, n)
+    g = dom.generator_int
+    c1 = eng.to_int(p1.values, mont=False)
+    c2 = eng.to_int(rand_poly(n, 22).values, mont=False)
+    c3 = eng.to_int(p3.to_regular().values, mont=False)
+    got = eng.to_int(out.values, mont=False)
+    for i in range(n):
+        x = pow(g, i, q)
+        e1 = sum(c * pow(x, k, q) for k, c in enumerate(c1)) % q
+        e2 = sum(c * pow(x, k, q) for k, c in enumerate(c2)) % q
+        e3 = sum(c * pow(x, k, q) for k, c in enumerate(c3)) % q
+        assert got[i] == (e1 * e2 + e3) % q, i
+
+
+def test_to_lagrange_batch_matches_per_poly():
+    n = 32
+    polys = [rand_poly(n, 31 + i) for i in range(5)]
+    polys[3] = polys[3].to_bit_reverse()
+    polys[4] = polys[4].to_lagrange()
+    for coset in (False, True):
+        batched = iop.to_lagrange_batch(list(polys), coset=coset)
+        for b, p in zip(batched, polys):
+            single = p.to_lagrange(coset).to_regular()
+            assert b.layout == iop.Layout.REGULAR
+            assert np.array_equal(np.asarray(b.values),
+                                  np.asarray(single.values)), coset
