@@ -33,8 +33,15 @@ from gnark_crypto_tpu.specs.curve import get_curve
 
 _MARKER = (0xDEADBEEF).to_bytes(8, "little")
 
-# families with fixed-Q line support (pairing/lines.py)
-_SUPPORTED = ("bn254", "bls12_381", "bls12_377")
+# all pairing families have fixed-Q line support (pairing/lines.py)
+_SUPPORTED = ("bn254", "bls12_381", "bls12_377", "bls24_315", "bls24_317",
+              "bw6_761", "bw6_633")
+_BW6 = ("bw6_761", "bw6_633")
+
+
+def _n_coords(name: str) -> int:
+    """fp words per line coefficient: E2=2, E4=4 (bls24), fp=1 (bw6)."""
+    return 1 if name in _BW6 else (4 if "bls24" in name else 2)
 
 
 def _fp_modulus(name: str) -> int:
@@ -67,42 +74,49 @@ def _words_be_read(b: bytes, n64: int) -> int:
                for i in range(n64))
 
 
-def _e2_mont_bytes(name: str, a0: int, a1: int) -> bytes:
+def _ext_mont_bytes(name: str, coords) -> bytes:
+    """Line coefficient (d fp coords, natural struct order) -> raw-memory
+    bytes: each coord a [n64]uint64 array, LSW first, words big-endian."""
     n64 = _n64(name)
-    return (_words_be(_to_mont(a0, name), n64)
-            + _words_be(_to_mont(a1, name), n64))
+    return b"".join(_words_be(_to_mont(c, name), n64) for c in coords)
 
 
-def _e2_mont_read(name: str, b: bytes) -> tuple[int, int]:
+def _ext_mont_read(name: str, b: bytes):
     n64 = _n64(name)
-    return (_from_mont(_words_be_read(b[:8 * n64], n64), name),
-            _from_mont(_words_be_read(b[8 * n64:], n64), name))
+    d = _n_coords(name)
+    return tuple(
+        _from_mont(_words_be_read(b[8 * n64 * i:8 * n64 * (i + 1)], n64),
+                   name) for i in range(d))
 
 
 # ---------------------------------------------------------------------------
 # line tables <-> bytes
 # ---------------------------------------------------------------------------
 
+def _fp_spec_of(name: str):
+    return get_curve(f"{name}_g1").fp
+
+
 def _lines_to_ints(name: str, lines, k: int):
     """AffLines (batch 2: [gen, alpha]) -> nested int list
-    [j][i] -> ((r0a0, r0a1), (r1a0, r1a1)) for batch element k."""
+    [j][i] -> (r0 coord tuple, r1 coord tuple) for batch element k."""
+    from gnark_crypto_tpu.field import mont
     from gnark_crypto_tpu.pairing.lines import n_line_slots
-    from gnark_crypto_tpu.pairing.pairing12 import get_ctx
 
-    e2 = get_ctx(name).tower.e2
+    spec = _fp_spec_of(name)
+    d = _n_coords(name)
     S = n_line_slots(name)
+    L = spec.n_limbs
     out = []
-    r0 = np.asarray(lines.r0)
-    r1 = np.asarray(lines.r1)
+    # (2, S, batch, *edims, L) -> per-slot flat coord rows
+    r0 = np.asarray(lines.r0).reshape(2, S, -1, d, L)
+    r1 = np.asarray(lines.r1).reshape(2, S, -1, d, L)
     for j in range(2):
         row = []
-        r0a0, r0a1 = e2.to_int(jnp.asarray(r0[j]).reshape(S * 2,
-                                                          *r0.shape[3:]))
-        r1a0, r1a1 = e2.to_int(jnp.asarray(r1[j]).reshape(S * 2,
-                                                          *r1.shape[3:]))
         for i in range(S):
-            idx = 2 * i + k
-            row.append(((r0a0[idx], r0a1[idx]), (r1a0[idx], r1a1[idx])))
+            c0 = tuple(mont.to_int(spec, r0[j, i, k, c]) for c in range(d))
+            c1 = tuple(mont.to_int(spec, r1[j, i, k, c]) for c in range(d))
+            row.append((c0, c1))
         out.append(row)
     return out
 
@@ -134,8 +148,8 @@ def write_dump(w, name: str, srs, max_pk_points: int | None = None) -> None:
         for j in range(2):
             for i in range(S - 1, -1, -1):
                 (r0, r1) = ints[j][i]
-                w.write(_e2_mont_bytes(name, *r0))
-                w.write(_e2_mont_bytes(name, *r1))
+                w.write(_ext_mont_bytes(name, r0))
+                w.write(_ext_mont_bytes(name, r1))
 
     # --- marker + unsafe G1 slice
     w.write(_MARKER)
@@ -157,42 +171,44 @@ def read_dump(r, name: str, max_pk_points: int | None = None):
     pairing_check_fixed_q."""
     if name not in _SUPPORTED:
         raise NotImplementedError(f"gnark dump: {name}")
+    from gnark_crypto_tpu.field import mont
     from gnark_crypto_tpu.pairing.lines import AffLines, n_line_slots
-    from gnark_crypto_tpu.pairing.pairing12 import get_ctx
     from gnark_crypto_tpu.protocols.kzg import SRS, ProvingKey, VerifyingKey
 
     g2c = g2_curve(name)
     g1c = curve_ops(get_curve(f"{name}_g1"))
     g2codec = PointCodec(g2c)
     g1codec = PointCodec(g1c)
-    e2 = get_ctx(name).tower.e2
 
     nb2, nb1 = g2codec.nb, g1codec.nb
     g2 = g2codec.from_bytes([r.read(2 * nb2)], subgroup_check=False)
     alpha_g2 = g2codec.from_bytes([r.read(2 * nb2)], subgroup_check=False)
     vk_g1 = g1codec.from_bytes([r.read(2 * nb1)], subgroup_check=False)
 
+    spec = _fp_spec_of(name)
+    d = _n_coords(name)
     S = n_line_slots(name)
     n64 = _n64(name)
-    esz = 16 * n64  # E2 bytes
-    # slots[j][i][k] -> (r0 pair, r1 pair)
+    esz = 8 * n64 * d  # bytes per line coefficient (R0 or R1)
+    # slots[j][i][k] -> (r0 coord tuple, r1 coord tuple)
     vals = {}
     for k in range(2):
         for j in range(2):
             for i in range(S - 1, -1, -1):
-                r0 = _e2_mont_read(name, r.read(esz))
-                r1 = _e2_mont_read(name, r.read(esz))
+                r0 = _ext_mont_read(name, r.read(esz))
+                r1 = _ext_mont_read(name, r.read(esz))
                 vals[(j, i, k)] = (r0, r1)
 
+    # element trailing dims (before limbs) per family: E2 (2,), E4 (2,2)
+    # with gnark struct order B0.A0,B0.A1,B1.A0,B1.A1, BW6 fp ()
+    edims = () if name in _BW6 else ((2, 2) if "bls24" in name else (2,))
+
     def build(sel):
-        out = []
-        for j in range(2):
-            rows = []
-            for i in range(S):
-                rows.append(e2.from_int([vals[(j, i, 0)][sel],
-                                         vals[(j, i, 1)][sel]]))
-            out.append(jnp.stack(rows))
-        return jnp.stack(out)
+        flat = [vals[(j, i, k)][sel][c]
+                for j in range(2) for i in range(S)
+                for k in range(2) for c in range(d)]
+        arr = mont.from_int(spec, flat)
+        return jnp.asarray(arr).reshape(2, S, 2, *edims, spec.n_limbs)
 
     lines = AffLines(build(0), build(1))
 

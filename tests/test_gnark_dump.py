@@ -15,7 +15,14 @@ def _aff_ints(codec_curve, pt):
     return (f.to_int(pt.x), f.to_int(pt.y))
 
 
-@pytest.mark.parametrize("name", ["bn254", "bls12_381"])
+@pytest.mark.parametrize("name", [
+    "bn254", "bls12_381",
+    pytest.param("bls12_377", marks=pytest.mark.slow),
+    pytest.param("bls24_315", marks=pytest.mark.slow),
+    pytest.param("bls24_317", marks=pytest.mark.slow),
+    pytest.param("bw6_761", marks=pytest.mark.slow),
+    pytest.param("bw6_633", marks=pytest.mark.slow),
+])
 def test_dump_roundtrip(name):
     srs = kzg.new_srs(name, 6, alpha=987654321)
     buf = io.BytesIO()
@@ -32,8 +39,10 @@ def test_dump_roundtrip(name):
     g2codec = PointCodec(g2_curve(name))
     g1codec = PointCodec(curve_ops(get_curve(f"{name}_g1")))
     n64 = gnark_dump._n64(name)
+    d = gnark_dump._n_coords(name)
     S = n_line_slots(name)
-    vk_bytes = 2 * (2 * g2codec.nb) + 2 * g1codec.nb + 2 * 2 * S * 2 * 16 * n64
+    coeff = 8 * n64 * d  # one line coefficient (R0 or R1)
+    vk_bytes = 2 * (2 * g2codec.nb) + 2 * g1codec.nb + 2 * 2 * S * 2 * coeff
     expect = vk_bytes + 8 + 8 + 6 * 16 * n64
     assert len(data) == expect, (len(data), expect)
     # marker sits right after the VK
