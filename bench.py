@@ -6,10 +6,11 @@ ecc/bn254/fr/fft/fft_test.go:244). Timing is D2H-synced (a small slice of
 the result is fetched) because block_until_ready is unreliable through the
 axon tunnel. See PERF.md for the current perf analysis.
 
-vs_baseline: the reference publishes no absolute numbers (BASELINE.md); we
-compare against a documented anchor for gnark-crypto's bn254 FFT 2^20 on a
-modern many-core amd64 box (~20 ms => ~5.2e7 elems/s). Update the anchor
-when real reference numbers are measured.
+vs_baseline: the reference publishes no absolute numbers and this
+environment has no Go toolchain / network egress to measure or fetch any
+(BASELINE.md "Status of that action"). Anchors are DERIVED from the
+operation-count x microarchitecture model in BASELINE.md ("Derived CPU
+anchors", ~±2x uncertainty); per-extra anchors below cite the same table.
 """
 
 import json
@@ -26,7 +27,18 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_tpu_cache"))
 
-GNARK_FFT_2_20_ELEMS_PER_SEC = 5.2e7  # documented anchor, see docstring
+GNARK_FFT_2_20_ELEMS_PER_SEC = 5.2e7  # derived anchor (BASELINE.md table)
+
+# derived CPU anchors for extras (BASELINE.md "Derived CPU anchors"):
+# {metric key: anchor in the metric's own unit}
+ANCHORS = {
+    "koalabear_ntt_2^20": 5.0e7,        # elems/s
+    "bn254_g1_msm_2^16": 2.2e6,         # pts/s
+    "bn254_g1_msm_2^20": 3.0e6,
+    "bn254_g1_msm_2^24": 3.7e6,
+    "bn254_pairing_x2048": 3.5e4,       # pairs/s (24-core batch)
+    "bls12_381_pairing_x2048": 2.5e4,   # ~1.4x bn254 cost per pairing
+}
 
 # Global wall-clock budget: the persistent compile cache does NOT hit on
 # the axon backend (entries are written but never read back), so every
@@ -206,22 +218,20 @@ def bench_msm(n=1 << 16, iters=4):
     return n / dt, dt
 
 
-def bench_pairing(batch=2048, iters=2):
-    """bn254 full pairing throughput, batched lanes (pairing_test.go:538).
+def bench_pairing(name="bn254", batch=2048, iters=2):
+    """Full pairing throughput, batched lanes (pairing_test.go:538).
 
-    Runs the EAGER path (host-dispatched Miller/final-exp step kernels):
-    jitting the whole pairing OOM-kills the remote TPU compile helper
-    (tpu_compile_helper SIGKILL on the Miller lax.scan). Eager execution
-    is dispatch-latency-bound (~1500 round trips), so a large batch
-    amortizes it."""
+    pair() auto-routes to the straight-line Pallas VM on TPU (all 7
+    families since round 4); the eager step-kernel path remains the
+    fallback where the VM is unavailable."""
     import jax
     from gnark_crypto_tpu.curve.g2 import g2_curve
     from gnark_crypto_tpu.curve.jacobian import Affine, curve_ops
-    from gnark_crypto_tpu.pairing import pairing12
+    from gnark_crypto_tpu.pairing import api as pairing_api
     from gnark_crypto_tpu.specs import curve as cs
 
-    g1 = curve_ops(cs.get_curve("bn254_g1"))
-    g2 = g2_curve("bn254")
+    g1 = curve_ops(cs.get_curve(f"{name}_g1"))
+    g2 = g2_curve(name)
     gp = g1.generator_affine()
     gq = g2.generator_affine()
     P = Affine(g1.fp.broadcast_to(gp.x, (batch,)),
@@ -231,11 +241,11 @@ def bench_pairing(batch=2048, iters=2):
 
     def sync(v):
         np.asarray(jax.tree.leaves(v)[0].ravel()[:1])
-    r = pairing12.pair("bn254", P, QX, QY)   # eager: compiles step kernels
+    r = pairing_api.pair(name, P, QX, QY)
     sync(r)
     t0 = time.perf_counter()
     for _ in range(iters):
-        r = pairing12.pair("bn254", P, QX, QY)
+        r = pairing_api.pair(name, P, QX, QY)
         sync(r)
     dt = (time.perf_counter() - t0) / iters
     return batch / dt, dt
@@ -325,6 +335,8 @@ def main():
                            60),
                           ("bn254_g1_msm_2^20",
                            lambda: bench_msm(1 << 20, iters=2), 420),
+                          ("bls12_381_pairing_x2048",
+                           lambda: bench_pairing("bls12_381"), 500),
                           ("bn254_g1_msm_2^24",
                            lambda: bench_msm(1 << 24, iters=1), 800)]:
         if _time_left() < need:
@@ -334,6 +346,8 @@ def main():
             rate, dt = fn()
             extra[key + "_per_sec"] = round(rate)
             extra[key + "_ms"] = round(dt * 1e3, 2)
+            if key in ANCHORS:  # derived anchor, BASELINE.md table
+                extra[key + "_vs_anchor"] = round(rate / ANCHORS[key], 3)
         except Exception as e:  # never lose the primary metric
             extra[key + "_error"] = repr(e)[:120]
         _emit(ntt_rate, extra)
