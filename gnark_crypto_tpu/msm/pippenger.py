@@ -274,6 +274,15 @@ def _bucket_accumulate_affine(curve: Curve, points: Affine, mag, neg,
                      for bc, pc in zip(bk, pt)))
 
     # ---- phase 1: batch-affine compaction levels -------------------------
+    # Interior-run completions are NOT scattered per level: a full-width
+    # bucket scatter costs ~51 ms at 2^21 lanes on the bench chip (XLA:TPU
+    # scatter is serialized), and the tree used to pay TWO per level.
+    # Instead each level emits (key, x, y) rows densely; run keys are
+    # globally unique (a digit run completes at exactly one level), so one
+    # argsort over the concatenated emissions + a (sentinel+1)-row gather/
+    # scatter rebuilds the bucket array at the end. Emitted points at
+    # infinity keep the sentinel key — buckets default to infinity anyway.
+    e_keys, e_x, e_y = [], [], []
     pre = suf = Affine(px, py)    # leftmost / rightmost run partial sums
     pre_d = suf_d = key_s
     single = jnp.ones((m,), bool)  # node spans a single digit-run
@@ -281,6 +290,12 @@ def _bucket_accumulate_affine(curve: Curve, points: Affine, mag, neg,
     fused = (curve._pallas_ok and jax.default_backend() == "tpu"
              and not os.environ.get("GNARK_TPU_NO_PALLAS_POINT")
              and px.ndim == 2)
+
+    def emit(valid, d, pt: Affine, is_inf):
+        e_keys.append(jnp.where(valid & (~is_inf), d, sentinel))
+        e_x.append(pt.x)
+        e_y.append(pt.y)
+
     while f.eshape(pre.x)[0] > bot:
         pre_xe, pre_xo = _pair_split(pre.x)
         pre_ye, pre_yo = _pair_split(pre.y)
@@ -313,23 +328,33 @@ def _bucket_accumulate_affine(curve: Curve, points: Affine, mag, neg,
                 l_pre.x, l_pre.y, l_suf.x, l_suf.y,
                 r_pre.x, r_pre.y, r_suf.x, r_suf.y,
                 num, dinv, mbits, tb)
-            buckets = scatter(buckets, emit_a, Jac(pax, pay, za), l_suf_d)
-            buckets = scatter(buckets, emit_b, curve.from_affine(r_pre),
-                              r_pre_d)
+            emit(emit_a, l_suf_d, Affine(pax, pay), f.is_zero(za))
             pre, suf = Affine(prex, prey), Affine(sufx, sufy)
         else:
             mid = _affine_add_complete(curve, l_suf, r_pre)
-            # interior-run completions -> buckets
             pt_a = _sel2(f, eq, mid, l_suf)
-            buckets = scatter(buckets, emit_a, curve.from_affine(pt_a),
-                              l_suf_d)
-            buckets = scatter(buckets, emit_b, curve.from_affine(r_pre),
-                              r_pre_d)
+            emit(emit_a, l_suf_d, pt_a, curve.is_inf_affine(pt_a))
             # new node
             pre = _sel2(f, l_single & eq, mid, l_pre)
             suf = _sel2(f, r_single & eq, mid, r_suf)
+        emit(emit_b, r_pre_d, r_pre, curve.is_inf_affine(r_pre))
         pre_d, suf_d = l_pre_d, r_suf_d
         single = l_single & r_single & eq
+
+    if e_keys:
+        ekeys = jnp.concatenate(e_keys)
+        epx = jnp.concatenate(e_x, axis=0)
+        epy = jnp.concatenate(e_y, axis=0)
+        K = min(sentinel + 1, ekeys.shape[0])
+        top = lax.slice(jnp.argsort(ekeys), (0,), (K,))
+        k_top = jnp.take(ekeys, top)
+        valid_top = k_top < sentinel
+        pt_top = Affine(jnp.take(epx, top, axis=0),
+                        jnp.take(epy, top, axis=0))
+        z_top = f.where(valid_top & (~curve.is_inf_affine(pt_top)),
+                        f.broadcast_to(f.ones(), (K,)), f.zeros((K,)))
+        buckets = scatter(buckets, valid_top,
+                          Jac(pt_top.x, pt_top.y, z_top), k_top)
 
     # ---- phase 2: strided in-place levels, one lax.scan ------------------
     # virtual node of size 2^(j+1) keeps its data at its first slot; step j

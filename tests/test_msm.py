@@ -92,3 +92,29 @@ def test_msm_g2_vs_oracle():
     oracle = g2.scalar_mul(g2.from_affine(gb),
                            g2.fr.from_int([want], mont=False))
     assert bool(np.asarray(g2.eq_jac(res, oracle)).ravel()[0])
+
+
+def test_msm_phase1_affine_levels_vs_oracle(monkeypatch):
+    """Force the phase-1 batch-affine compaction levels (normally gated
+    behind GNARK_MSM_BOT_W = 2^14, so CPU-size tests never enter them):
+    exercises the dense-emission bucket rebuild (argsort + tiny scatter)."""
+    monkeypatch.setenv("GNARK_MSM_BOT_W", "8")
+    spec = cs.get_curve("bn254_g1")
+    curve = curve_ops(spec)
+    r = curve.spec.fr.modulus
+    n = 64
+    pts = rand_points(curve, n, seed=77)
+    rng = random.Random(78)
+    ks = [rng.randrange(r) for _ in range(n)]
+    ks[0] = 0
+    pts[3] = None
+    pts[5] = pts[6]  # duplicate point: forces a doubling inside a run
+    P = pts_to_device(curve, pts)
+    k_dev = curve.fr.from_int(ks, mont=False)
+    got = pippenger.msm(spec, P, k_dev, c=4)
+    exp = pippenger.msm_naive(spec, P, k_dev)
+    got_a = affine_to_ints(curve, curve.to_affine(
+        __import__("jax").tree.map(lambda x: x[None], got)))
+    exp_a = affine_to_ints(curve, curve.to_affine(
+        __import__("jax").tree.map(lambda x: x[None], exp)))
+    assert got_a == exp_a
