@@ -59,6 +59,53 @@ def best_c(n: int) -> int:
     return 16
 
 
+def _tune_path() -> str:
+    return os.environ.get(
+        "GNARK_MSM_TUNE_FILE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".msm_tune.json"))
+
+
+def _autotune_c(curve: Curve, points: Affine, scalars, n: int) -> int:
+    """Measured counterpart of the reference's bestC cost model
+    (multiexp.go:76-141): times the eager MSM at {bestC-1, bestC, bestC+1}
+    on the live inputs and persists the winner per (backend, curve, n-pow2)
+    so later processes skip the sweep. Opt-in (GNARK_MSM_AUTOTUNE=1) —
+    each candidate pays a full compile on backends without a warm cache.
+    """
+    import json
+    import time as _time
+
+    key = f"{jax.default_backend()}:{curve.spec.name}:{1 << max(0, (n - 1).bit_length())}"
+    path = _tune_path()
+    try:
+        with open(path) as fh:
+            cache = json.load(fh)
+    except Exception:
+        cache = {}
+    if key in cache:
+        return int(cache[key])
+    base = best_c(n)
+    cands = sorted({max(2, base - 1), base, base + 1})
+    times = {}
+    for cand in cands:
+        res = _msm_eager(curve, points, scalars, cand)   # compile + warm
+        jax.tree.map(lambda a: a.block_until_ready(), tuple(res))
+        t0 = _time.perf_counter()
+        res = _msm_eager(curve, points, scalars, cand)
+        import numpy as _np
+        _np.asarray(res.x.ravel()[:1])                   # true D2H sync
+        times[cand] = _time.perf_counter() - t0
+    bestc = min(times, key=times.get)
+    cache[key] = bestc
+    try:
+        with open(path, "w") as fh:
+            json.dump(cache, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    return bestc
+
+
 def signed_digits(curve: Curve, scalars, c: int):
     """Decompose plain fr scalars into signed base-2^c digits.
 
@@ -732,10 +779,16 @@ def msm(spec: CurveSpec, points: Affine, scalars, c: int | None = None) -> Jac:
     """
     n = points.x.shape[0]
     assert scalars.shape[0] == n, "len(points) != len(scalars)"
-    c = c or best_c(n)
     from gnark_crypto_tpu.utils import hostloop
-    if (not hostloop.is_tracing(points.x, points.y, scalars)
-            and not os.environ.get("GNARK_MSM_JAC")):
+    tracing = hostloop.is_tracing(points.x, points.y, scalars)
+    if (c is None and not tracing and n > 1 << 10
+            and os.environ.get("GNARK_MSM_AUTOTUNE")):
+        curve = _resolve(spec)
+        m = min(n, _max_flat())   # chunks never exceed _max_flat points
+        c = _autotune_c(curve, Affine(points.x[:m], points.y[:m]),
+                        scalars[:m], n)
+    c = c or best_c(n)
+    if not tracing and not os.environ.get("GNARK_MSM_JAC"):
         curve = _resolve(spec)
         chunk = _max_flat()
         if n <= chunk:

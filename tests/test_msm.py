@@ -118,3 +118,39 @@ def test_msm_phase1_affine_levels_vs_oracle(monkeypatch):
     exp_a = affine_to_ints(curve, curve.to_affine(
         __import__("jax").tree.map(lambda x: x[None], exp)))
     assert got_a == exp_a
+
+
+def test_msm_autotune_c(monkeypatch, tmp_path):
+    """GNARK_MSM_AUTOTUNE: picks a candidate c, persists it, and the tuned
+    MSM still matches the oracle (multiexp.go:76-141 bestC counterpart)."""
+    tune = tmp_path / "tune.json"
+    monkeypatch.setenv("GNARK_MSM_AUTOTUNE", "1")
+    monkeypatch.setenv("GNARK_MSM_TUNE_FILE", str(tune))
+    spec = cs.get_curve("bn254_g1")
+    curve = curve_ops(spec)
+    r = curve.spec.fr.modulus
+    n = 1 << 11
+    pts = rand_points(curve, 8, seed=91)
+    P8 = pts_to_device(curve, pts)
+    import jax.numpy as jnp
+    P = type(P8)(jnp.tile(P8.x, (n // 8, 1)), jnp.tile(P8.y, (n // 8, 1)))
+    rng = random.Random(92)
+    ks = [rng.randrange(r) for _ in range(n)]
+    k_dev = curve.fr.from_int(ks, mont=False)
+    got = pippenger.msm(spec, P, k_dev)
+    assert tune.exists()
+    import json
+    cache = json.load(open(tune))
+    assert len(cache) == 1
+    # repeat: cache hit (no new entries), same result
+    got2 = pippenger.msm(spec, P, k_dev)
+    import jax
+    ga = affine_to_ints(curve, curve.to_affine(
+        jax.tree.map(lambda x: x[None], got)))
+    gb = affine_to_ints(curve, curve.to_affine(
+        jax.tree.map(lambda x: x[None], got2)))
+    assert ga == gb
+    exp = pippenger.msm(spec, P, k_dev, c=8)
+    ea = affine_to_ints(curve, curve.to_affine(
+        jax.tree.map(lambda x: x[None], exp)))
+    assert ga == ea
