@@ -351,7 +351,10 @@ def run_stages_pallas(domain, a, decimation: str, inverse: bool,
 
 
 def supported(domain, a) -> bool:
-    """Pallas path preconditions: multi-limb engine, tile-divisible size."""
+    """Pallas path preconditions: multi-limb int32 engine (goldilocks'
+    2x32 uint32 pairs do NOT fit the int32 CIOS tiles), tile-divisible
+    size."""
     eng = domain.eng
-    return (getattr(eng, "elem_dims", 0) == 1 and domain.n >= 2 * LANES
-            and a.ndim == 2)
+    return (getattr(eng, "elem_dims", 0) == 1
+            and eng.spec.limb_bits <= 13
+            and domain.n >= 2 * LANES and a.ndim == 2)

@@ -698,6 +698,8 @@ def supported(domain, a, decimation: str, inverse: bool) -> bool:
     eng = domain.eng
     if getattr(eng, "elem_dims", 0) != 1 or a.ndim != 2:
         return False
+    if eng.spec.limb_bits > 13:  # f64 uint32 pairs: no int32 CIOS tiles
+        return False
     if domain.n < (1 << 14):  # S1, S2 >= 128
         return False
     spec = eng.spec
