@@ -189,11 +189,14 @@ def _use_pallas(domain: Domain, a):
 
     if _jax.default_backend() != "tpu":
         return None
-    from gnark_crypto_tpu.ntt import pallas_ntt, pallas_ntt_f31
+    from gnark_crypto_tpu.ntt import pallas_ntt, pallas_ntt_f31, \
+        pallas_ntt_f64
     if pallas_ntt.supported(domain, a):
         return pallas_ntt.run_stages_pallas
     if pallas_ntt_f31.supported(domain, a):
         return pallas_ntt_f31.run_stages_pallas_f31
+    if pallas_ntt_f64.supported(domain, a):
+        return pallas_ntt_f64.run_stages_pallas_f64
     return None
 
 

@@ -173,3 +173,39 @@ def test_f31_radix4_matches_radix2(n, decim, inv, monkeypatch):
     monkeypatch.setenv("GNARK_NTT_RADIX4", "1")
     got = run_stages_pallas_f31(dom, data, decim, inv, interpret=True)
     assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+# -- f64 (goldilocks) --------------------------------------------------------
+
+N64 = 4096
+
+
+@pytest.fixture(scope="module")
+def dom64():
+    return Domain(fs.GOLDILOCKS, N64)
+
+
+@pytest.fixture(scope="module")
+def data64(dom64):
+    eng = for_spec(fs.GOLDILOCKS)
+    rng = random.Random(13)
+    return eng.from_int([rng.randrange(fs.GOLDILOCKS.modulus)
+                         for _ in range(N64)])
+
+
+@pytest.mark.parametrize("decimation", ["DIF", "DIT"])
+@pytest.mark.parametrize("inverse", [False, True])
+def test_pallas_f64_stages_match_xla(dom64, data64, decimation, inverse):
+    from gnark_crypto_tpu.ntt.pallas_ntt_f64 import (run_stages_pallas_f64,
+                                                     supported)
+
+    assert supported(dom64, data64)
+    eng = dom64.eng
+    tw = lambda s: dom64.stage_twiddles(s, inverse=inverse)
+    if decimation == "DIF":
+        ref = fft_mod._dif_stages(eng, data64, tw, dom64.k)
+    else:
+        ref = fft_mod._dit_stages(eng, data64, tw, dom64.k)
+    got = run_stages_pallas_f64(dom64, data64, decimation, inverse,
+                                interpret=True)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
