@@ -173,3 +173,28 @@ def test_dist_kzg_batch_commit_open():
                             claimed_value=vals[i][None]),
                         point, srs.vk)
         assert bool(np.asarray(ok))
+
+
+def test_dist_msm_2_10_points():
+    """Sharded MSM at 2^10 points (the VERDICT r3 scale ask): tiled base
+    points, random scalars, vs the single-chip engine."""
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8, axis="dp")
+    spec = cs.get_curve("bn254_g1")
+    curve = curve_ops(spec)
+    nb = 16
+    base = rand_points(curve, nb, seed=61)
+    n = 1 << 10
+    pts = base * (n // nb)
+    rng = random.Random(62)
+    ks = [rng.randrange(curve.spec.fr.modulus) for _ in range(n)]
+    P = pts_to_device(curve, pts)
+    k_dev = curve.fr.from_int(ks, mont=False)
+
+    got = msm_sharded(spec, mesh, P, k_dev, c=8)
+    expect = pippenger.msm(spec, P, k_dev, c=8)
+    got_a = affine_to_ints(curve, curve.to_affine(
+        jax.tree.map(lambda x: x[None], got)))
+    exp_a = affine_to_ints(curve, curve.to_affine(
+        jax.tree.map(lambda x: x[None], expect)))
+    assert got_a == exp_a
