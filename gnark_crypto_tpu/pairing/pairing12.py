@@ -452,12 +452,15 @@ def pair(name: str, P: Affine, QX, QY):
     import os
 
     from gnark_crypto_tpu.utils import hostloop
-    if (name in ("bn254", "bls12_381", "bls12_377")
+    if (name in ("bn254", "bls12_381", "bls12_377", "bls24_315",
+                 "bls24_317")
             and jax.default_backend() == "tpu"
             and not hostloop.is_tracing(P, QX, QY)
             and os.environ.get("GNARK_TPU_NO_VM_PAIRING") != "1"):
-        from gnark_crypto_tpu.pairing.vm_pairing import pair_vm
-        return pair_vm(name, P, QX, QY)
+        from gnark_crypto_tpu.pairing.vm_pairing import try_pair_vm
+        out = try_pair_vm(name, P, QX, QY)
+        if out is not None:
+            return out   # else: VM compile failed, eager fallback below
     ctx = get_ctx(name)
     f = miller_loop(ctx, P, QX, QY)
     return final_exponentiation(ctx, f)

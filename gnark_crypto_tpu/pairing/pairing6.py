@@ -406,6 +406,21 @@ def pairing_check_fixed_q6(name: str, P: Affine, lines):
 
 
 def pair(name: str, P: Affine, QX, QY):
+    """Reduced pairing; on TPU routes through the straight-line VM
+    (vm_pairing.py) with an eager step-kernel fallback — same dispatch
+    policy as pairing12.pair."""
+    import os
+
+    import jax as _jax
+
+    from gnark_crypto_tpu.utils import hostloop
+    if (_jax.default_backend() == "tpu"
+            and not hostloop.is_tracing(P, QX, QY)
+            and os.environ.get("GNARK_TPU_NO_VM_PAIRING") != "1"):
+        from gnark_crypto_tpu.pairing.vm_pairing import try_pair_vm
+        out = try_pair_vm(name, P, QX, QY)
+        if out is not None:
+            return out
     ctx = get_ctx6(name)
     return final_exponentiation(ctx, miller_loop(ctx, P, QX, QY))
 

@@ -263,6 +263,30 @@ def _gt_shape(name: str):
     return {6: (2, 3), 12: (2, 3, 2), 24: (2, 3, 2, 2)}[_gt_coeffs(name)]
 
 
+_VM_DISABLED: set = set()
+
+
+def try_pair_vm(name: str, P: Affine, QX, QY):
+    """``pair_vm`` with a per-process compile-failure fallback: some VM
+    programs exceed this backend's remote compile helper (observed:
+    bls12-381 full program OOM-kills tpu_compile_helper). On the first
+    failure the family is marked and ``None`` is returned so callers fall
+    back to the eager step-kernel ladder; later calls skip the retry
+    (each failed compile costs minutes)."""
+    if name in _VM_DISABLED:
+        return None
+    try:
+        return pair_vm(name, P, QX, QY)
+    except Exception as e:  # Mosaic / remote-compile failure class
+        import warnings
+
+        _VM_DISABLED.add(name)
+        warnings.warn(
+            f"VM pairing unavailable for {name} on this backend "
+            f"({type(e).__name__}); falling back to step kernels")
+        return None
+
+
 def pair_vm(name: str, P: Affine, QX, QY, interpret: bool = False):
     """Reduced pairing prod_i e(P_i, Q_i) via VM programs (1-2 dispatches
     for batches ≤ TILE^2, logarithmically more beyond).

@@ -201,3 +201,24 @@ def test_vm_pairing_vs_reference_path(name):
     ref = papi.pair(name, P, QX, QY)
     got = vm_pairing.pair_vm(name, P, QX, QY, interpret=True)
     assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_try_pair_vm_fallback(monkeypatch):
+    """A VM compile failure marks the family and returns None (callers
+    fall back to the eager ladder); later calls skip the retry."""
+    from gnark_crypto_tpu.pairing import vm_pairing
+
+    calls = []
+
+    def boom(name, P, QX, QY, interpret=False):
+        calls.append(name)
+        raise RuntimeError("tpu_compile_helper subprocess exit code 1")
+
+    monkeypatch.setattr(vm_pairing, "pair_vm", boom)
+    monkeypatch.setattr(vm_pairing, "_VM_DISABLED", set())
+    with pytest.warns(UserWarning, match="falling back"):
+        out = vm_pairing.try_pair_vm("bls12_381", None, None, None)
+    assert out is None
+    out2 = vm_pairing.try_pair_vm("bls12_381", None, None, None)
+    assert out2 is None
+    assert calls == ["bls12_381"]  # no second compile attempt
