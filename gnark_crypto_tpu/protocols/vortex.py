@@ -226,12 +226,11 @@ def verify(p: Params, root, proof: Proof, selected: list[int],
     # 1. RS membership: IFFT per E4 coordinate slot (linearity), top
     #    (n - nb_columns) coefficients must vanish
     flat = proof.ualpha.reshape(n, 4)
-    coeff_slots = []
-    for i in range(4):
-        slot = eng.to_mont(flat[:, i])
-        coeffs = fftm.bit_reverse(fftm.fft_inverse(p.dom_big, slot, fftm.DIF))
-        coeff_slots.append(eng.from_mont(coeffs))
-    coeffs4 = jnp.stack(coeff_slots, -1).reshape(n, 2, 2)
+    # all 4 coordinate slots in ONE batched inverse transform
+    rows = eng.to_mont(flat.T)                          # (4, n)
+    inv = fftm.fft_batch(p.dom_big, rows, fftm.DIF, inverse=True)
+    inv = jnp.take(inv, jnp.asarray(fftm._bitrev_perm(n)), axis=1)
+    coeffs4 = eng.from_mont(inv).T.reshape(n, 2, 2)
     top = coeffs4[p.nb_columns :]
     if not bool(np.all(np.asarray(top) == 0)):
         return False
