@@ -71,7 +71,7 @@ def msm_sharded_2d(spec: CurveSpec, mesh: Mesh, points: Affine, scalars,
     n = points.x.shape[0]
     c = c or pippenger.best_c(max(n // D, 1))
     nbits = curve.spec.fr.modulus.bit_length()
-    nwin = -(-nbits // c) + 1            # signed_digits window count
+    nwin = pippenger.n_windows(nbits, c)  # signed_digits window count
     wb = -(-nwin // W)                   # windows per device (padded)
     nwin_pad = wb * W
 

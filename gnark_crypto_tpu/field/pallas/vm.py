@@ -48,8 +48,14 @@ from gnark_crypto_tpu.field.pallas.mont_mul import (_add_tile, _carry_rows,
                                                     _sub_tile)
 from gnark_crypto_tpu.specs.field import FieldSpec, int_to_limbs
 
-TILE = 256      # lanes per tile (batch elements per grid row)
+TILE = 256      # default lanes per tile (batch elements per grid row)
 CHUNK = 512     # instructions per SMEM block (8 KB)
+
+# VMEM register-file budget note: the kernel holds K x (l_pad, tile) int32
+# registers in VMEM plus only the entry rows in and output rows out (NOT
+# three full register files) — E24/BW6 programs with hundreds of live
+# GT coefficients stay compilable by shrinking `tile` per program
+# (vm_pairing._TILE) rather than failing Mosaic at 15+ MB.
 
 OP_MUL, OP_ADD, OP_SUB, OP_HALVE, OP_ROT, OP_NOP = range(6)
 
@@ -72,15 +78,16 @@ def _halve_tile(spec: FieldSpec, l_pad: int, x, q_col):
 # kernel
 # ---------------------------------------------------------------------------
 
-def _vm_kernel(spec: FieldSpec, l_pad: int, K: int, interpret: bool,
-               code_ref, in_ref, q_ref, out_ref, regs):
+def _vm_kernel(spec: FieldSpec, l_pad: int, K: int, n_entry: int,
+               n_out: int, tile: int, interpret: bool,
+               code_ref, omap_ref, in_ref, q_ref, out_ref, regs):
     c = pl.program_id(1)
     nc = pl.num_programs(1)
     q_col = q_ref[:]
 
     @pl.when(c == 0)
     def _():
-        regs[:] = in_ref[:]
+        regs[pl.ds(0, n_entry)] = in_ref[:]
 
     def op_mul(a, b, _s):
         return _mm_tile(spec, l_pad, a, b, q_col)
@@ -95,11 +102,11 @@ def _vm_kernel(spec: FieldSpec, l_pad: int, K: int, interpret: bool,
         return _halve_tile(spec, l_pad, a, q_col)
 
     def op_rot(a, _b, s):
-        # lane i receives lane (i+s) mod TILE; shift kept positive (a
+        # lane i receives lane (i+s) mod tile; shift kept positive (a
         # traced negative shift is sign-ambiguous for pltpu.roll)
         if interpret:
-            return jnp.roll(a, TILE - s, axis=1)
-        return pltpu.roll(a, TILE - s, axis=1)
+            return jnp.roll(a, tile - s, axis=1)
+        return pltpu.roll(a, tile - s, axis=1)
 
     def op_nop(a, _b, _s):
         return a
@@ -121,37 +128,45 @@ def _vm_kernel(spec: FieldSpec, l_pad: int, K: int, interpret: bool,
 
     @pl.when(c == nc - 1)
     def _():
-        out_ref[:] = regs[:]
+        def cp(i, _):
+            out_ref[pl.ds(i, 1)] = regs[pl.ds(omap_ref[i], 1)]
+            return 0
+        jax.lax.fori_loop(0, n_out, cp, 0)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
-def _vm_call(spec: FieldSpec, code, state, K: int, l_pad: int,
-             interpret: bool = False):
-    """Run a padded (n_chunks*CHUNK, 4) program over (K, l_pad, n_pad)."""
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8))
+def _vm_call(spec: FieldSpec, code, omap, state, K: int, n_entry: int,
+             l_pad: int, tile: int, interpret: bool = False):
+    """Run a padded (n_chunks*CHUNK, 4) program over entry state
+    (n_entry, l_pad, n_pad); returns (n_out, l_pad, n_pad) output rows."""
     n_chunks = code.shape[0] // CHUNK
     n_pad = state.shape[2]
-    T = n_pad // TILE
+    n_out = omap.shape[0]
+    T = n_pad // tile
     qt = np.broadcast_to(np.asarray(
         spec.q_limbs + (0,) * (l_pad - spec.n_limbs),
-        np.int32)[:, None], (l_pad, TILE)).copy()
-    kern = functools.partial(_vm_kernel, spec, l_pad, K, interpret)
+        np.int32)[:, None], (l_pad, tile)).copy()
+    kern = functools.partial(_vm_kernel, spec, l_pad, K, n_entry, n_out,
+                             tile, interpret)
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((K, l_pad, n_pad), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n_out, l_pad, n_pad), jnp.int32),
         grid=(T, n_chunks),
         in_specs=[
             pl.BlockSpec((CHUNK, 4), lambda t, c: (c, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((K, l_pad, TILE), lambda t, c: (0, 0, t),
+            pl.BlockSpec((n_out,), lambda t, c: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_entry, l_pad, tile), lambda t, c: (0, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((l_pad, TILE), lambda t, c: (0, 0),
+            pl.BlockSpec((l_pad, tile), lambda t, c: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((K, l_pad, TILE), lambda t, c: (0, 0, t),
+        out_specs=pl.BlockSpec((n_out, l_pad, tile), lambda t, c: (0, 0, t),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((K, l_pad, TILE), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((K, l_pad, tile), jnp.int32)],
         interpret=interpret,
-    )(code, state, jnp.asarray(qt))
+    )(code, omap, state, jnp.asarray(qt))
 
 
 # ---------------------------------------------------------------------------
@@ -167,6 +182,8 @@ class Program:                                 # are built once and cached
     entry_inputs: tuple              # ((phys_reg, input_name), ...)
     out_regs: tuple                  # ((name, phys_reg), ...)
     n_instrs: int                    # before NOP padding
+    tile: int = TILE                 # lanes per grid tile
+    n_entry: int = 0                 # entry rows = phys regs [0, n_entry)
 
 
 class Asm:
@@ -174,12 +191,16 @@ class Asm:
 
     Values are integer SSA ids. ``input``/``const`` define entry values;
     ``mul/add/sub/halve/rot`` emit instructions. ``build`` performs
-    liveness analysis + greedy register allocation into K physical
-    registers and returns a :class:`Program`.
+    liveness analysis + greedy register allocation (auto-sized to the peak
+    live count) and returns a :class:`Program`.
+
+    ``tile``: lanes per VM grid tile — the semantic width of ``rot``
+    (cross-lane product trees span exactly one tile).
     """
 
-    def __init__(self, spec: FieldSpec):
+    def __init__(self, spec: FieldSpec, tile: int = TILE):
         self.spec = spec
+        self.tile = tile
         self.code: list[tuple] = []   # (op, dst_ssa, a_ssa, b_ssa_or_imm)
         self.n_vals = 0
         self._inputs: list[tuple] = []   # (ssa, name)
@@ -219,14 +240,15 @@ class Asm:
         return self._emit(OP_HALVE, a, a)
 
     def rot(self, a, lanes: int):
-        assert 0 < lanes < TILE
+        assert 0 < lanes < self.tile
         d = self._new()
         self.code.append((OP_ROT, d, a, -lanes))  # negative marks immediate
         return d
 
-    def build(self, outputs: dict[str, int], max_regs: int = 128) -> Program:
-        """Dead-code-eliminate, allocate physical registers (≤ max_regs;
-        reg max_regs-1 is the NOP dump) and return the padded Program."""
+    def build(self, outputs: dict[str, int], max_regs: int = 1024) -> Program:
+        """Dead-code-eliminate, allocate physical registers (auto-sized to
+        peak-live + 1 NOP-dump row; raises past the ``max_regs`` cap) and
+        return the padded Program."""
         # DCE: formulas emit values that end up unused (trailing line
         # coefficients, the final point coordinates, ...)
         live = set(outputs.values())
@@ -253,19 +275,23 @@ class Asm:
             last_use[v] = len(self.code)  # live to the end
 
         phys = {}
-        free: list[int] = list(range(max_regs - 2, -1, -1))  # reg K-1 = dump
+        free: list[int] = list(range(max_regs - 1, -1, -1))
 
         def alloc(v):
             if not free:
                 raise RuntimeError(
-                    f"register spill: >{max_regs - 1} live values")
+                    f"register spill: >{max_regs} live values")
             phys[v] = free.pop()
 
-        # entry values live from position -1
+        # entry values live from position -1; allocated first, so they land
+        # in contiguous registers [0, n_entry) — the kernel loads the input
+        # block with one static-slice write
         entry_vals = [v for v, _ in self._inputs] + \
             list(self._consts.values())
         for v in entry_vals:
             alloc(v)
+        n_entry = len(entry_vals)
+        assert [phys[v] for v in entry_vals] == list(range(n_entry))
         # free entry values that are never used
         expiring: dict[int, list[int]] = {}
         for v in entry_vals:
@@ -288,20 +314,24 @@ class Asm:
             out[pos] = (op, phys[d], pa, pb)
 
         n = len(self.code)
+        # auto-size the register file: peak-live + 1 NOP-dump row
+        peak = max(phys.values(), default=0)
+        dump = peak + 1
         n_chunks = max(1, -(-n // CHUNK))
         padded = np.full((n_chunks * CHUNK, 4),
-                         (OP_NOP, max_regs - 1, max_regs - 1, max_regs - 1),
-                         np.int32)
+                         (OP_NOP, dump, dump, dump), np.int32)
         padded[:n] = out[:n]
         return Program(
             spec=self.spec,
             code=padded,
-            n_regs=max_regs,
+            n_regs=dump + 1,
             entry_consts=tuple(sorted(
                 (phys[v], val) for val, v in self._consts.items())),
             entry_inputs=tuple((phys[v], name) for v, name in self._inputs),
             out_regs=tuple((name, phys[v]) for name, v in outputs.items()),
             n_instrs=n,
+            tile=self.tile,
+            n_entry=n_entry,
         )
 
 
@@ -311,9 +341,9 @@ class Asm:
 
 @functools.lru_cache(maxsize=None)
 def _entry_const_cols(prog: Program, l_pad: int):
-    """(K, l_pad) int32 column of Montgomery-form constants at entry."""
+    """(n_entry, l_pad) int32 column of Montgomery-form entry constants."""
     spec = prog.spec
-    cols = np.zeros((prog.n_regs, l_pad), np.int32)
+    cols = np.zeros((prog.n_entry, l_pad), np.int32)
     for reg, val in prog.entry_consts:
         vm = val * spec.r % spec.modulus
         cols[reg, :spec.n_limbs] = np.asarray(
@@ -330,12 +360,12 @@ def execute(prog: Program, inputs: dict, n: int, interpret: bool = False):
     spec = prog.spec
     L = spec.n_limbs
     l_pad = _round_up(max(L, 8), 8)
-    n_pad = _round_up(max(n, 1), TILE)
+    n_pad = _round_up(max(n, 1), prog.tile)
     K = prog.n_regs
 
     cols = _entry_const_cols(prog, l_pad)
     state = jnp.broadcast_to(
-        jnp.asarray(cols)[:, :, None], (K, l_pad, n_pad))
+        jnp.asarray(cols)[:, :, None], (prog.n_entry, l_pad, n_pad))
     for reg, name in prog.entry_inputs:
         x = inputs[name]
         if x.ndim == 1:
@@ -343,5 +373,8 @@ def execute(prog: Program, inputs: dict, n: int, interpret: bool = False):
         pad = jnp.zeros((l_pad, n_pad), jnp.int32).at[:L, :n].set(x.T)
         state = state.at[reg].set(pad)
 
-    out = _vm_call(spec, jnp.asarray(prog.code), state, K, l_pad, interpret)
-    return {name: out[reg, :L, :n].T for name, reg in prog.out_regs}
+    omap = jnp.asarray([reg for _, reg in prog.out_regs], jnp.int32)
+    out = _vm_call(spec, jnp.asarray(prog.code), omap, state, K,
+                   prog.n_entry, l_pad, prog.tile, interpret)
+    return {name: out[i, :L, :n].T
+            for i, (name, _reg) in enumerate(prog.out_regs)}

@@ -106,6 +106,18 @@ def _autotune_c(curve: Curve, points: Affine, scalars, n: int) -> int:
     return bestc
 
 
+def n_windows(nbits: int, c: int) -> int:
+    """Signed-digit window count. The borrow cascade can spill past the top
+    scalar bit only when c divides nbits exactly: the top window then holds
+    up to 2^c - 1 and a carry pushes it past 2^(c-1). For a partial top
+    window of r = nbits % c > 0 bits, its value + carry <= 2^r <= 2^(c-1),
+    so the spill window would always be zero — dropping it saves a full
+    window of bucket work (reference partitionScalars allocates the spill
+    digit unconditionally, multiexp.go:717 nbChunks+1)."""
+    nwin = -(-nbits // c)
+    return nwin + 1 if nbits % c == 0 else nwin
+
+
 def signed_digits(curve: Curve, scalars, c: int):
     """Decompose plain fr scalars into signed base-2^c digits.
 
@@ -114,7 +126,7 @@ def signed_digits(curve: Curve, scalars, c: int):
     """
     fr = curve.fr
     nbits = fr.spec.modulus.bit_length()
-    nwin = -(-nbits // c) + 1  # +1: final borrow can spill into a top window
+    nwin = n_windows(nbits, c)
     half = 1 << (c - 1)
     full = 1 << c
 
@@ -292,12 +304,20 @@ def _bucket_accumulate_affine(curve: Curve, points: Affine, mag, neg,
     keys = (mag + (jnp.arange(G, dtype=mag.dtype) * slots)[:, None]
             ).reshape(G * n)
     negf = neg.reshape(G * n)
-    m = 1 << (G * n - 1).bit_length()
-    if m != G * n:
+    # pad to a multiple of 2^L (L = phase-1 levels down to BOT_W), NOT the
+    # next power of two: every phase-1 level only needs an even width, so
+    # e.g. 27 windows x 2^16 pads to 3462*2^9 (+0.02%) instead of 2^21
+    # (+18% wasted full-cost lanes). Phase 2 pads its (<= BOT_W)-wide
+    # remainder to a power of two, which is noise at that width.
+    bot = _bot_width()
+    W0 = G * n
+    L = max(0, (W0 - 1).bit_length() - bot.bit_length() + 1)
+    m = -(-W0 // (1 << L)) << L
+    if m != W0:
         keys = jnp.concatenate(
-            [keys, jnp.full((m - G * n,), sentinel, keys.dtype)])
+            [keys, jnp.full((m - W0,), sentinel, keys.dtype)])
         negf = jnp.concatenate(
-            [negf, jnp.zeros((m - G * n,), negf.dtype)])
+            [negf, jnp.zeros((m - W0,), negf.dtype)])
 
     order = jnp.argsort(keys)
     key_s = keys[order]
@@ -337,7 +357,6 @@ def _bucket_accumulate_affine(curve: Curve, points: Affine, mag, neg,
     pre = suf = Affine(px, py)    # leftmost / rightmost run partial sums
     pre_d = suf_d = key_s
     single = jnp.ones((m,), bool)  # node spans a single digit-run
-    bot = _bot_width()
     fused = (curve._pallas_ok and jax.default_backend() == "tpu"
              and not os.environ.get("GNARK_TPU_NO_PALLAS_POINT")
              and px.ndim == 2)
@@ -410,13 +429,30 @@ def _bucket_accumulate_affine(curve: Curve, points: Affine, mag, neg,
     # ---- phase 2: strided in-place levels, one lax.scan ------------------
     # virtual node of size 2^(j+1) keeps its data at its first slot; step j
     # merges slot i (left, i % 2^(j+1) == 0) with slot i + 2^j (right).
-    B = f.eshape(pre.x)[0]
+    # Run completions are emitted DENSELY as scan ys (key-or-sentinel rows)
+    # instead of scattered per step: the bucket array leaves the scan carry
+    # (no per-step churn of (sentinel+1)-row coordinate arrays) and the
+    # ~2*log2(B) serialized XLA:TPU scatters collapse into one argsort +
+    # one unique-key rebuild at the end, like phase 1.
+    B0 = f.eshape(pre.x)[0]
+    B = 1 << (B0 - 1).bit_length()
+    if B != B0:                    # pad the non-pow2 phase-1 remainder
+        padw = B - B0
+        zpad = f.zeros((padw,))
+        pre = Affine(jnp.concatenate([pre.x, zpad], 0),
+                     jnp.concatenate([pre.y, zpad], 0))
+        suf = Affine(jnp.concatenate([suf.x, zpad], 0),
+                     jnp.concatenate([suf.y, zpad], 0))
+        dpad = jnp.full((padw,), sentinel, pre_d.dtype)
+        pre_d = jnp.concatenate([pre_d, dpad])
+        suf_d = jnp.concatenate([suf_d, dpad])
+        single = jnp.concatenate([single, jnp.ones((padw,), bool)])
     preJ = curve.from_affine(pre)
     sufJ = curve.from_affine(suf)
     iota = jnp.arange(B, dtype=jnp.int32)
 
     def step(carry, j):
-        preJ, sufJ, pre_d, suf_d, single, buckets = carry
+        preJ, sufJ, pre_d, suf_d, single = carry
         s = jnp.left_shift(jnp.int32(1), j)
         rl = lambda a: jnp.roll(a, -s, axis=0)  # slot i -> old slot i+s
         r_pre = Jac(*(rl(a) for a in preJ))
@@ -429,9 +465,9 @@ def _bucket_accumulate_affine(curve: Curve, points: Affine, mag, neg,
         eq = suf_d == r_pre_d
         emit_a = aligned & (~single) & ((~eq) | (~r_single))
         pt_a = _sel(f, eq, mid, Jac(*sufJ))
-        buckets = scatter(buckets, emit_a, pt_a, suf_d)
+        key_a = jnp.where(emit_a, suf_d, sentinel)
         emit_b = aligned & (~eq) & (~r_single)
-        buckets = scatter(buckets, emit_b, r_pre, r_pre_d)
+        key_b = jnp.where(emit_b, r_pre_d, sentinel)
 
         upd = lambda new, old: _sel(f, aligned, new, old)
         new_pre = upd(_sel(f, single & eq, mid, Jac(*preJ)), Jac(*preJ))
@@ -439,19 +475,33 @@ def _bucket_accumulate_affine(curve: Curve, points: Affine, mag, neg,
         new_suf_d = jnp.where(aligned, r_suf_d, suf_d)
         new_single = jnp.where(aligned, single & r_single & eq, single)
         return (tuple(new_pre), tuple(new_suf), pre_d, new_suf_d,
-                new_single, buckets), None
+                new_single), (key_a, tuple(pt_a), key_b, tuple(r_pre))
 
     k_bot = B.bit_length() - 1
+    j_keys, j_pts = [], []
     if k_bot:
-        carry = (tuple(preJ), tuple(sufJ), pre_d, suf_d, single, buckets)
-        carry, _ = lax.scan(step, carry,
-                            jnp.arange(k_bot, dtype=jnp.int32))
-        preJ, sufJ, pre_d, suf_d, single, buckets = carry
+        carry = (tuple(preJ), tuple(sufJ), pre_d, suf_d, single)
+        carry, ys = lax.scan(step, carry,
+                             jnp.arange(k_bot, dtype=jnp.int32))
+        preJ, sufJ, pre_d, suf_d, single = carry
         preJ, sufJ = Jac(*preJ), Jac(*sufJ)
+        key_a, pts_a, key_b, pts_b = ys     # (k_bot, B[, L]) stacks
+        j_keys += [key_a.reshape(-1), key_b.reshape(-1)]
+        j_pts += [Jac(*(a.reshape(k_bot * B, *a.shape[2:]) for a in pts_a)),
+                  Jac(*(a.reshape(k_bot * B, *a.shape[2:]) for a in pts_b))]
 
     ones1 = jnp.zeros((B,), bool).at[0].set(True)
-    buckets = scatter(buckets, ones1, Jac(*preJ), pre_d)
-    buckets = scatter(buckets, ones1 & ~single, Jac(*sufJ), suf_d)
+    j_keys += [jnp.where(ones1, pre_d, sentinel),
+               jnp.where(ones1 & ~single, suf_d, sentinel)]
+    j_pts += [preJ, sufJ]
+
+    ekeys = jnp.concatenate(j_keys)
+    ept = Jac(*(jnp.concatenate(comp, axis=0) for comp in zip(*j_pts)))
+    K = min(sentinel + 1, ekeys.shape[0])
+    top = lax.slice(jnp.argsort(ekeys), (0,), (K,))
+    k_top = jnp.take(ekeys, top)
+    buckets = scatter(buckets, k_top < sentinel,
+                      Jac(*(jnp.take(a, top, axis=0) for a in ept)), k_top)
     return Jac(*(bc[:sentinel].reshape(G, slots, *bc.shape[1:])
                  for bc in buckets))
 

@@ -163,7 +163,7 @@ def precompute_lines(name: str, QX, QY) -> AffLines:
 def _loop_kernels(ctx: PairingCtx):
     tw = ctx.tower
     e12 = tw.e12
-    sparse = hasattr(tw, "mul_by_34")   # Tower12 only; Tower24 goes dense
+    sparse = hasattr(tw, "mul_by_34")   # SparseLineMixin (Tower12+Tower24)
 
     def scale(ctx_, r0, r1, xnoy, yinv):
         if ctx_.twist_type == "D":

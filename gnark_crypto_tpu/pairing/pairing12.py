@@ -11,8 +11,11 @@ pairing value):
     skeleton is the *standard* square/double/add ladder (the reference's
     i=63 shortcut differs only by vertical-line factors, which the final
     exponentiation kills, so reduced pairings agree).
-  * Line-vs-accumulator products use generic E12 muls for now (the sparse
-    MulBy034/MulBy01234 specializations are a follow-up optimization).
+  * Line-vs-accumulator products use the sparse MulBy034/MulBy014
+    specializations (towers/tower12.py SparseLineMixin — shared by
+    Tower12 at the E2 level and Tower24 at the E4 level, matching
+    e12_pairing.go:70-220 / e24_pairing.go:35-200), falling back to the
+    dense product only where a tower lacks them.
 
 Homogeneous projective double/add steps use the same formulas as the
 reference (eprint 2013/722 §4.3; pairing.go:292,333,377).
@@ -203,9 +206,10 @@ class PairingCtx:
             return self.tower.from_coeffs6([r2, c1, zero, zero, c4, zero])
 
     def line_prod(self, facc, line, px, py):
-        """facc * line(P): sparse MulBy034 (D-twist) / MulBy014 (M-twist)
-        when the tower provides it (Tower12), dense E12 mul otherwise
-        (bls24 towers). Bit-identical to the dense product."""
+        """facc * line(P): sparse MulBy034 (D-twist) / MulBy014 (M-twist) —
+        provided by SparseLineMixin for both Tower12 (E2 coefficients) and
+        Tower24 (E4 coefficients, e24_pairing.go:35). Bit-identical to the
+        dense product (kept as the fallback for towers without them)."""
         tw = self.tower
         r0, r1, r2 = line
         if self.twist_type == "D" and hasattr(tw, "mul_by_034"):

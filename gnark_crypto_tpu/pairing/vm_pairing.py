@@ -10,10 +10,12 @@ symbolic towers (``towers/symbolic.py``) — the digit branches become
 straight-line code because the loop counters are compile-time constants,
 exactly like the reference's unrolled ``e12_pairing.go`` chains.
 
-Execution: ONE Pallas kernel dispatch per ≤``vm.TILE`` pairs (Miller +
+Execution: ONE Pallas kernel dispatch per ≤``_TILE[name]`` pairs (Miller +
 in-kernel lane-product + final exp), or a short chain of dispatches for
 larger batches (per-tile Miller/product, product-only folds while more
-than TILE tile-products remain, then a reduce + final exp program).
+than one tile of tile-products remains, then a reduce + final exp
+program). The tile width is per-family (``_TILE``) so the register file
+fits VMEM for every GT width.
 
 Infinite pairs are neutralized WITHOUT branches: the caller feeds per-lane
 Montgomery masks (m, mc) ∈ {0,1}, and the program computes
@@ -45,9 +47,19 @@ VM_FAMILIES = ("bn254", "bls12_381", "bls12_377",
                "bls24_315", "bls24_317", "bw6_761", "bw6_633")
 _BW6 = ("bw6_761", "bw6_633")
 
-# register-file height per GT width: E24 programs keep ~10 live values of
-# 24 fp coefficients each through the final-exp chain
-_MAX_REGS = {6: 128, 12: 128, 24: 384}
+# lanes per VM tile, per family. The register file is auto-sized to the
+# program's peak live count (vm.Asm.build), and VMEM holds
+# K x (l_pad, tile) int32 — E24 programs (hundreds of live fp coefficients,
+# l_pad 24) and BW6 (l_pad 64 at 11-bit limbs) must shrink the tile to fit
+# the ~16 MB VMEM budget; bn254/bls12 (l_pad 24-32, K~128) run full-width.
+_TILE = {
+    "bn254": 256, "bls12_381": 256, "bls12_377": 256,
+    "bls24_315": 128, "bls24_317": 128,
+    "bw6_761": 128, "bw6_633": 128,
+}
+# tile must be a multiple of 128: Mosaic's tpu.dynamic_rotate (the lane
+# product's pltpu.roll) rejects unaligned lane shapes (measured: tile=64
+# fails with "unsupported unaligned shape vector<72x64xi32>").
 
 
 def _gt_coeffs(name: str) -> int:
@@ -110,7 +122,8 @@ def _sym_miller12(asm: vm.Asm, ctx: PairingCtx):
 
     def line_mul(facc, line):
         # sparse MulBy034/MulBy014 via ctx (13 coord-muls/line vs 18),
-        # dense for towers without the sparse helpers (bls24)
+        # at the E2 level for Tower12 and the E4 level for Tower24
+        # (e24_pairing.go:35 MulBy034)
         return ctx.line_prod(facc, line, px, py)
 
     for d in ctx.loop[-2::-1]:
@@ -183,9 +196,9 @@ def _sym_miller6(asm: vm.Asm, ctx6):
 
 
 def _sym_lane_product(tw, gt_eng, facc):
-    """All-lanes product: log2(TILE) rotate-multiply rounds; afterwards
-    every lane holds prod over the tile."""
-    k = vm.TILE // 2
+    """All-lanes product: log2(tile) rotate-multiply rounds; afterwards
+    every lane holds prod over the tile (the assembler's tile width)."""
+    k = tw.fp.asm.tile // 2
     while k:
         facc = gt_eng.mul(facc, tw.rot(facc, k))
         k //= 2
@@ -199,7 +212,7 @@ def build_program(name: str, variant: str) -> vm.Program:
     'reduce' (lane product + finalexp over GT inputs)."""
     assert name in VM_FAMILIES, name
     nc = _gt_coeffs(name)
-    max_regs = _MAX_REGS[nc]
+    tile = _TILE[name]
 
     if name in _BW6:
         from gnark_crypto_tpu.pairing.pairing6 import (PairingCtx6,
@@ -208,7 +221,7 @@ def build_program(name: str, variant: str) -> vm.Program:
         from gnark_crypto_tpu.towers.tower6 import TOWER6_PARAMS
 
         spec = TOWER6_PARAMS[name][0]
-        asm = vm.Asm(spec)
+        asm = vm.Asm(spec, tile=tile)
         tw = SymTower6(name, asm)
         ctx = PairingCtx6(name, tower=tw)
         gt_eng, fin = tw.e6, lambda z: finexp6(ctx, z)
@@ -219,7 +232,7 @@ def build_program(name: str, variant: str) -> vm.Program:
 
         params = TOWER24_PARAMS if "bls24" in name else TOWER12_PARAMS
         spec = params[name][0]
-        asm = vm.Asm(spec)
+        asm = vm.Asm(spec, tile=tile)
         tw = _sym_tower(name, asm)
         ctx = PairingCtx(name, tower=tw)
         gt_eng, fin = tw.e12, lambda z: final_exponentiation(ctx, z)
@@ -232,22 +245,18 @@ def build_program(name: str, variant: str) -> vm.Program:
         facc = _sym_lane_product(tw, gt_eng, facc)
         if variant == "product":
             return asm.build(
-                {f"g{i}": v for i, v in enumerate(_flat_ids(facc))},
-                max_regs=max_regs)
+                {f"g{i}": v for i, v in enumerate(_flat_ids(facc))})
         gt = fin(facc)
-        return asm.build({f"g{i}": v for i, v in enumerate(_flat_ids(gt))},
-                         max_regs=max_regs)
+        return asm.build({f"g{i}": v for i, v in enumerate(_flat_ids(gt))})
 
     facc = miller()
     facc = _sym_lane_product(tw, gt_eng, facc)
     if variant == "miller":
         return asm.build(
-            {f"g{i}": v for i, v in enumerate(_flat_ids(facc))},
-            max_regs=max_regs)
+            {f"g{i}": v for i, v in enumerate(_flat_ids(facc))})
     assert variant == "full"
     gt = fin(facc)
-    return asm.build({f"g{i}": v for i, v in enumerate(_flat_ids(gt))},
-                     max_regs=max_regs)
+    return asm.build({f"g{i}": v for i, v in enumerate(_flat_ids(gt))})
 
 
 def _pad_rows(x, n_pad: int, fill):
@@ -266,25 +275,49 @@ def _gt_shape(name: str):
 _VM_DISABLED: set = set()
 
 
+def vm_tier(name: str) -> str:
+    """Which tier ``pair()`` would use right now: 'vm' or 'eager'
+    (bench reporting — a 100-450x eager fallback must never masquerade
+    as the VM kernel's number)."""
+    return "eager" if name in _VM_DISABLED else "vm"
+
+
+def reset_vm(name: str | None = None):
+    """Re-enable the VM tier after a transient backend failure (the remote
+    compile helper accumulates state over long processes; a fresh attempt
+    usually succeeds — NEXT.md round-4 probe notes)."""
+    if name is None:
+        _VM_DISABLED.clear()
+    else:
+        _VM_DISABLED.discard(name)
+
+
 def try_pair_vm(name: str, P: Affine, QX, QY):
-    """``pair_vm`` with a per-process compile-failure fallback: some VM
-    programs exceed this backend's remote compile helper (observed:
-    bls12-381 full program OOM-kills tpu_compile_helper). On the first
-    failure the family is marked and ``None`` is returned so callers fall
-    back to the eager step-kernel ladder; later calls skip the retry
-    (each failed compile costs minutes)."""
+    """``pair_vm`` with retry + per-process fallback: the remote compile
+    helper fails TRANSIENTLY on long processes (observed: bls12-381 full
+    program compiles fine standalone but died once mid-bench), so the
+    first failure is retried once in-place; only a second consecutive
+    failure marks the family and returns ``None`` so callers fall back to
+    the eager step-kernel ladder (later calls skip the retry — each
+    failed compile costs minutes)."""
     if name in _VM_DISABLED:
         return None
-    try:
-        return pair_vm(name, P, QX, QY)
-    except Exception as e:  # Mosaic / remote-compile failure class
-        import warnings
+    for attempt in (0, 1):
+        try:
+            return pair_vm(name, P, QX, QY)
+        except Exception as e:  # Mosaic / remote-compile failure class
+            import warnings
 
-        _VM_DISABLED.add(name)
-        warnings.warn(
-            f"VM pairing unavailable for {name} on this backend "
-            f"({type(e).__name__}); falling back to step kernels")
-        return None
+            if attempt == 0:
+                warnings.warn(
+                    f"VM pairing compile failed for {name} "
+                    f"({type(e).__name__}); retrying once")
+                continue
+            _VM_DISABLED.add(name)
+            warnings.warn(
+                f"VM pairing unavailable for {name} on this backend "
+                f"({type(e).__name__}); falling back to step kernels")
+    return None
 
 
 def pair_vm(name: str, P: Affine, QX, QY, interpret: bool = False):
@@ -309,7 +342,8 @@ def pair_vm(name: str, P: Affine, QX, QY, interpret: bool = False):
     nc = _gt_coeffs(name)
     d = _q_coords(name)
     n = f.eshape(P.x)[0]
-    n_pad = -(-n // vm.TILE) * vm.TILE
+    tile = _TILE[name]
+    n_pad = -(-n // tile) * tile
 
     inf = (f.is_zero(P.x) & f.is_zero(P.y)) | \
         (ce.is_zero(QX) & ce.is_zero(QY))
@@ -336,7 +370,7 @@ def pair_vm(name: str, P: Affine, QX, QY, interpret: bool = False):
         coeffs = [out[f"g{i}"][row] for i in range(nc)]
         return jnp.stack(coeffs, 0).reshape(*_gt_shape(name), L)
 
-    if n_pad == vm.TILE:
+    if n_pad == tile:
         prog = build_program(name, "full")
         out = vm.execute(prog, inputs, n_pad, interpret=interpret)
         return gt_from(out, 0)
@@ -346,24 +380,24 @@ def pair_vm(name: str, P: Affine, QX, QY, interpret: bool = False):
     # rounds until one reduce tile remains.
     prog1 = build_program(name, "miller")
     out1 = vm.execute(prog1, inputs, n_pad, interpret=interpret)
-    T = n_pad // vm.TILE
-    rows = jnp.arange(T) * vm.TILE
+    T = n_pad // tile
+    rows = jnp.arange(T) * tile
     vals = [out1[f"g{i}"][rows] for i in range(nc)]
 
     def tile_inputs(vals, t_pad):
         return {f"f{i}": _pad_rows(v, t_pad, one_row if i == 0 else zero_row)
                 for i, v in enumerate(vals)}
 
-    while T > vm.TILE:
-        t_pad = -(-T // vm.TILE) * vm.TILE
+    while T > tile:
+        t_pad = -(-T // tile) * tile
         prog_p = build_program(name, "product")
         out_p = vm.execute(prog_p, tile_inputs(vals, t_pad), t_pad,
                            interpret=interpret)
-        T = t_pad // vm.TILE
-        rows = jnp.arange(T) * vm.TILE
+        T = t_pad // tile
+        rows = jnp.arange(T) * tile
         vals = [out_p[f"g{i}"][rows] for i in range(nc)]
 
     prog2 = build_program(name, "reduce")
-    out2 = vm.execute(prog2, tile_inputs(vals, vm.TILE), vm.TILE,
+    out2 = vm.execute(prog2, tile_inputs(vals, tile), tile,
                       interpret=interpret)
     return gt_from(out2, 0)

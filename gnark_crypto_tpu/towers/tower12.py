@@ -75,7 +75,172 @@ def _gt_kernels(tw: "Tower12"):
     return jax.jit(tw.cyclotomic_square), jax.jit(tw.e12.mul)
 
 
-class Tower12:
+class SparseLineMixin:
+    """Sparse Miller-line products, generic over tower level.
+
+    Written against the ``.e2/.e6/.e12`` aliases + ``._mul_by_xi``, so the
+    same code serves Tower12 (E2/E6/E12 — reference
+    ``ecc/bn254/internal/fptower/e12_pairing.go:70-220``) and Tower24
+    (E4/E12/E24 — reference
+    ``ecc/bls24-315/internal/fptower/e24_pairing.go:35-200``, where the
+    identical formulas run one level up: MulBy034/Mul034By034/MulBy01234
+    over E4 coefficients). Bit-identical to the dense products.
+    """
+
+    # -- sparse E6 helpers (Miller-line products) ---------------------------
+    def _e6_mul_by_01(self, z, c0, c1):
+        """E6 z * (c0 + c1 v) (reference e6.go:156 MulBy01)."""
+        e2, e6 = self.e2, self.e6
+        b0, b1, b2 = (e6.coeff(z, j) for j in range(3))
+        a = e2.mul(b0, c0)
+        b = e2.mul(b1, c1)
+        t0 = e2.add(self._mul_by_xi(
+            e2.sub(e2.mul(c1, e2.add(b1, b2)), b)), a)
+        t2 = e2.add(e2.sub(e2.mul(c0, e2.add(b0, b2)), a), b)
+        t1 = e2.sub(e2.sub(e2.mul(e2.add(c0, c1), e2.add(b0, b1)), a), b)
+        return e6.build([t0, t1, t2])
+
+    def _e6_mul_by_1(self, z, c1):
+        """E6 z * (c1 v) (reference e6.go:188 MulBy1)."""
+        e2, e6 = self.e2, self.e6
+        b0, b1, b2 = (e6.coeff(z, j) for j in range(3))
+        b = e2.mul(b1, c1)
+        t0 = self._mul_by_xi(e2.sub(e2.mul(c1, e2.add(b1, b2)), b))
+        t1 = e2.sub(e2.mul(c1, e2.add(b0, b1)), b)
+        return e6.build([t0, t1, b])
+
+    def _e6_mul_by_12(self, z, c1, c2):
+        """E6 z * (c1 v + c2 v^2) (reference e6.go:128 MulBy12)."""
+        e2, e6 = self.e2, self.e6
+        b0, b1, b2 = (e6.coeff(z, j) for j in range(3))
+        t1 = e2.mul(b1, c1)
+        t2 = e2.mul(b2, c2)
+        o0 = self._mul_by_xi(e2.sub(e2.sub(
+            e2.mul(e2.add(b1, b2), e2.add(c1, c2)), t1), t2))
+        o1 = e2.add(e2.sub(e2.mul(e2.add(b0, b1), c1), t1),
+                    self._mul_by_xi(t2))
+        o2 = e2.add(e2.sub(e2.mul(c2, e2.add(b0, b2)), t2), t1)
+        return e6.build([o0, o1, o2])
+
+    # -- sparse E12 muls for Miller-line accumulation -----------------------
+    # D-twist (bn254/bls12-377): lines are (1, 0, 0, c3, c4, 0) elements.
+    def mul_by_34(self, z, c3, c4):
+        """z * (1 + c3 w + c4 v w) (reference e12_pairing.go:112 MulBy34)."""
+        e2, e6, e12 = self.e2, self.e6, self.e12
+        z0, z1 = e12.coeff(z, 0), e12.coeff(z, 1)
+        a = z0
+        b = self._e6_mul_by_01(z1, c3, c4)
+        one = e2.broadcast_to(e2.ones(), e2.eshape(c3))
+        d0 = e2.add(one, c3)
+        d = self._e6_mul_by_01(e6.add(z0, z1), d0, c4)
+        o1 = e6.add(e6.neg(e6.add(a, b)), d)
+        o0 = e6.add(e6.mul_by_v(b), a)
+        return e12.build([o0, o1])
+
+    def mul_34_by_34(self, d3, d4, c3, c4):
+        """(1,0,0,d3,d4,0)*(1,0,0,c3,c4,0) -> 01234 coeffs [x0..x4]
+        (reference e12_pairing.go:161 Mul34By34)."""
+        e2 = self.e2
+        x3 = e2.mul(c3, d3)
+        x4 = e2.mul(c4, d4)
+        x04 = e2.add(c4, d4)
+        x03 = e2.add(c3, d3)
+        x34 = e2.sub(e2.sub(e2.mul(e2.add(d3, d4), e2.add(c3, c4)), x3), x4)
+        one = e2.broadcast_to(e2.ones(), e2.eshape(x3))
+        z00 = e2.add(self._mul_by_xi(x4), one)
+        return (z00, x3, x34, x03, x04)
+
+    def mul_by_01234(self, z, xs):
+        """z * (x0, x1, x2, x3, x4, 0) (reference MulBy01234)."""
+        e6, e12 = self.e6, self.e12
+        x0, x1, x2, x3, x4 = xs
+        zero2 = self.e2.zeros(self.e2.eshape(x0))
+        c0 = e6.build([x0, x1, x2])
+        c1 = e6.build([x3, x4, zero2])
+        z0, z1 = e12.coeff(z, 0), e12.coeff(z, 1)
+        a = e6.mul(e6.add(z0, z1), e6.add(c0, c1))
+        b = e6.mul(z0, c0)
+        c = self._e6_mul_by_01(z1, x3, x4)
+        o1 = e6.sub(e6.sub(a, b), c)
+        o0 = e6.add(e6.mul_by_v(c), b)
+        return e12.build([o0, o1])
+
+    def _e6_mul_by_e2(self, z, c):
+        """E6 z scaled coefficientwise by an E2 element (e6.go MulByE2)."""
+        e2, e6 = self.e2, self.e6
+        return e6.build([e2.mul(e6.coeff(z, j), c) for j in range(3)])
+
+    def mul_by_034(self, z, c0, c3, c4):
+        """z * (c0, 0, 0, c3, c4, 0) — the D-twist Miller line product
+        (reference e12_pairing.go MulBy034; 13 E2 muls vs 18 for a full
+        E12 mul). Exact sparse multiplication (bit-identical to the dense
+        product), used by both the XLA and VM pairing paths."""
+        e2, e6, e12 = self.e2, self.e6, self.e12
+        z0, z1 = e12.coeff(z, 0), e12.coeff(z, 1)
+        a = self._e6_mul_by_e2(z0, c0)
+        b = self._e6_mul_by_01(z1, c3, c4)
+        d = self._e6_mul_by_01(e6.add(z0, z1), e2.add(c0, c3), c4)
+        o1 = e6.sub(e6.sub(d, a), b)
+        o0 = e6.add(e6.mul_by_v(b), a)
+        return e12.build([o0, o1])
+
+    def mul_by_014(self, z, c0, c1, c4):
+        """z * (c0, c1, 0, 0, c4, 0) — the M-twist Miller line product
+        (bls12-381 e12_pairing.go MulBy014; 13 E2 muls)."""
+        e2, e6, e12 = self.e2, self.e6, self.e12
+        z0, z1 = e12.coeff(z, 0), e12.coeff(z, 1)
+        a = self._e6_mul_by_01(z0, c0, c1)
+        b = self._e6_mul_by_1(z1, c4)
+        d = self._e6_mul_by_01(e6.add(z0, z1), c0, e2.add(c1, c4))
+        o1 = e6.sub(e6.sub(d, a), b)
+        o0 = e6.add(e6.mul_by_v(b), a)
+        return e12.build([o0, o1])
+
+    # M-twist (bls12-381): lines are (c0, c1, 0, 0, 1, 0) elements.
+    def mul_by_01(self, z, c0, c1):
+        """z * (c0, c1, 0, 0, 1, 0) (bls12-381 e12_pairing.go:70 MulBy01)."""
+        e2, e6, e12 = self.e2, self.e6, self.e12
+        z0, z1 = e12.coeff(z, 0), e12.coeff(z, 1)
+        a = self._e6_mul_by_01(z0, c0, c1)
+        b = e6.mul_by_v(z1)
+        one = e2.broadcast_to(e2.ones(), e2.eshape(c1))
+        d = e2.add(c1, one)
+        o1 = self._e6_mul_by_01(e6.add(z1, z0), c0, d)
+        o1 = e6.sub(e6.sub(o1, a), b)
+        o0 = e6.add(e6.mul_by_v(b), a)
+        return e12.build([o0, o1])
+
+    def mul_01_by_01(self, d0, d1, c0, c1):
+        """(c0,c1,0,0,1,0)*(d0,d1,0,0,1,0) -> 01245 coeffs [x0..x4]
+        (bls12-381 e12_pairing.go:120 Mul01By01)."""
+        e2 = self.e2
+        x0 = e2.mul(c0, d0)
+        x1 = e2.mul(c1, d1)
+        x04 = e2.add(d0, c0)
+        x01 = e2.sub(e2.sub(e2.mul(e2.add(d0, d1), e2.add(c0, c1)), x0), x1)
+        x14 = e2.add(d1, c1)
+        one = e2.broadcast_to(e2.ones(), e2.eshape(x0))
+        z00 = e2.add(self._mul_by_xi(one), x0)
+        return (z00, x01, x1, x04, x14)
+
+    def mul_by_01245(self, z, xs):
+        """z * (x0, x1, x2, 0, x4, x5) (bls12-381 MulBy01245)."""
+        e6, e12 = self.e6, self.e12
+        x0, x1, x2, x4, x5 = xs
+        zero2 = self.e2.zeros(self.e2.eshape(x0))
+        c0 = e6.build([x0, x1, x2])
+        c1 = e6.build([zero2, x4, x5])
+        z0, z1 = e12.coeff(z, 0), e12.coeff(z, 1)
+        a = e6.mul(e6.add(z0, z1), e6.add(c0, c1))
+        b = e6.mul(z0, c0)
+        c = self._e6_mul_by_12(z1, x4, x5)
+        o1 = e6.sub(e6.sub(a, b), c)
+        o0 = e6.add(e6.mul_by_v(c), b)
+        return e12.build([o0, o1])
+
+
+
+class Tower12(SparseLineMixin):
     """Engines + constants for one Fp12 tower.
 
     Args mirror the reference's per-curve choices:
@@ -417,157 +582,6 @@ class Tower12:
         num = e12.build([g, one])
         den = e12.build([g, e6.neg(one)])
         return e12.mul(num, e12.inverse(den))
-
-    # -- sparse E6 helpers (Miller-line products) ---------------------------
-    def _e6_mul_by_01(self, z, c0, c1):
-        """E6 z * (c0 + c1 v) (reference e6.go:156 MulBy01)."""
-        e2, e6 = self.e2, self.e6
-        b0, b1, b2 = (e6.coeff(z, j) for j in range(3))
-        a = e2.mul(b0, c0)
-        b = e2.mul(b1, c1)
-        t0 = e2.add(self._mul_by_xi(
-            e2.sub(e2.mul(c1, e2.add(b1, b2)), b)), a)
-        t2 = e2.add(e2.sub(e2.mul(c0, e2.add(b0, b2)), a), b)
-        t1 = e2.sub(e2.sub(e2.mul(e2.add(c0, c1), e2.add(b0, b1)), a), b)
-        return e6.build([t0, t1, t2])
-
-    def _e6_mul_by_1(self, z, c1):
-        """E6 z * (c1 v) (reference e6.go:188 MulBy1)."""
-        e2, e6 = self.e2, self.e6
-        b0, b1, b2 = (e6.coeff(z, j) for j in range(3))
-        b = e2.mul(b1, c1)
-        t0 = self._mul_by_xi(e2.sub(e2.mul(c1, e2.add(b1, b2)), b))
-        t1 = e2.sub(e2.mul(c1, e2.add(b0, b1)), b)
-        return e6.build([t0, t1, b])
-
-    def _e6_mul_by_12(self, z, c1, c2):
-        """E6 z * (c1 v + c2 v^2) (reference e6.go:128 MulBy12)."""
-        e2, e6 = self.e2, self.e6
-        b0, b1, b2 = (e6.coeff(z, j) for j in range(3))
-        t1 = e2.mul(b1, c1)
-        t2 = e2.mul(b2, c2)
-        o0 = self._mul_by_xi(e2.sub(e2.sub(
-            e2.mul(e2.add(b1, b2), e2.add(c1, c2)), t1), t2))
-        o1 = e2.add(e2.sub(e2.mul(e2.add(b0, b1), c1), t1),
-                    self._mul_by_xi(t2))
-        o2 = e2.add(e2.sub(e2.mul(c2, e2.add(b0, b2)), t2), t1)
-        return e6.build([o0, o1, o2])
-
-    # -- sparse E12 muls for Miller-line accumulation -----------------------
-    # D-twist (bn254/bls12-377): lines are (1, 0, 0, c3, c4, 0) elements.
-    def mul_by_34(self, z, c3, c4):
-        """z * (1 + c3 w + c4 v w) (reference e12_pairing.go:112 MulBy34)."""
-        e2, e6, e12 = self.e2, self.e6, self.e12
-        z0, z1 = e12.coeff(z, 0), e12.coeff(z, 1)
-        a = z0
-        b = self._e6_mul_by_01(z1, c3, c4)
-        one = e2.broadcast_to(e2.ones(), e2.eshape(c3))
-        d0 = e2.add(one, c3)
-        d = self._e6_mul_by_01(e6.add(z0, z1), d0, c4)
-        o1 = e6.add(e6.neg(e6.add(a, b)), d)
-        o0 = e6.add(e6.mul_by_v(b), a)
-        return e12.build([o0, o1])
-
-    def mul_34_by_34(self, d3, d4, c3, c4):
-        """(1,0,0,d3,d4,0)*(1,0,0,c3,c4,0) -> 01234 coeffs [x0..x4]
-        (reference e12_pairing.go:161 Mul34By34)."""
-        e2 = self.e2
-        x3 = e2.mul(c3, d3)
-        x4 = e2.mul(c4, d4)
-        x04 = e2.add(c4, d4)
-        x03 = e2.add(c3, d3)
-        x34 = e2.sub(e2.sub(e2.mul(e2.add(d3, d4), e2.add(c3, c4)), x3), x4)
-        one = e2.broadcast_to(e2.ones(), e2.eshape(x3))
-        z00 = e2.add(self._mul_by_xi(x4), one)
-        return (z00, x3, x34, x03, x04)
-
-    def mul_by_01234(self, z, xs):
-        """z * (x0, x1, x2, x3, x4, 0) (reference MulBy01234)."""
-        e6, e12 = self.e6, self.e12
-        x0, x1, x2, x3, x4 = xs
-        zero2 = self.e2.zeros(self.e2.eshape(x0))
-        c0 = e6.build([x0, x1, x2])
-        c1 = e6.build([x3, x4, zero2])
-        z0, z1 = e12.coeff(z, 0), e12.coeff(z, 1)
-        a = e6.mul(e6.add(z0, z1), e6.add(c0, c1))
-        b = e6.mul(z0, c0)
-        c = self._e6_mul_by_01(z1, x3, x4)
-        o1 = e6.sub(e6.sub(a, b), c)
-        o0 = e6.add(e6.mul_by_v(c), b)
-        return e12.build([o0, o1])
-
-    def _e6_mul_by_e2(self, z, c):
-        """E6 z scaled coefficientwise by an E2 element (e6.go MulByE2)."""
-        e2, e6 = self.e2, self.e6
-        return e6.build([e2.mul(e6.coeff(z, j), c) for j in range(3)])
-
-    def mul_by_034(self, z, c0, c3, c4):
-        """z * (c0, 0, 0, c3, c4, 0) — the D-twist Miller line product
-        (reference e12_pairing.go MulBy034; 13 E2 muls vs 18 for a full
-        E12 mul). Exact sparse multiplication (bit-identical to the dense
-        product), used by both the XLA and VM pairing paths."""
-        e2, e6, e12 = self.e2, self.e6, self.e12
-        z0, z1 = e12.coeff(z, 0), e12.coeff(z, 1)
-        a = self._e6_mul_by_e2(z0, c0)
-        b = self._e6_mul_by_01(z1, c3, c4)
-        d = self._e6_mul_by_01(e6.add(z0, z1), e2.add(c0, c3), c4)
-        o1 = e6.sub(e6.sub(d, a), b)
-        o0 = e6.add(e6.mul_by_v(b), a)
-        return e12.build([o0, o1])
-
-    def mul_by_014(self, z, c0, c1, c4):
-        """z * (c0, c1, 0, 0, c4, 0) — the M-twist Miller line product
-        (bls12-381 e12_pairing.go MulBy014; 13 E2 muls)."""
-        e2, e6, e12 = self.e2, self.e6, self.e12
-        z0, z1 = e12.coeff(z, 0), e12.coeff(z, 1)
-        a = self._e6_mul_by_01(z0, c0, c1)
-        b = self._e6_mul_by_1(z1, c4)
-        d = self._e6_mul_by_01(e6.add(z0, z1), c0, e2.add(c1, c4))
-        o1 = e6.sub(e6.sub(d, a), b)
-        o0 = e6.add(e6.mul_by_v(b), a)
-        return e12.build([o0, o1])
-
-    # M-twist (bls12-381): lines are (c0, c1, 0, 0, 1, 0) elements.
-    def mul_by_01(self, z, c0, c1):
-        """z * (c0, c1, 0, 0, 1, 0) (bls12-381 e12_pairing.go:70 MulBy01)."""
-        e2, e6, e12 = self.e2, self.e6, self.e12
-        z0, z1 = e12.coeff(z, 0), e12.coeff(z, 1)
-        a = self._e6_mul_by_01(z0, c0, c1)
-        b = e6.mul_by_v(z1)
-        one = e2.broadcast_to(e2.ones(), e2.eshape(c1))
-        d = e2.add(c1, one)
-        o1 = self._e6_mul_by_01(e6.add(z1, z0), c0, d)
-        o1 = e6.sub(e6.sub(o1, a), b)
-        o0 = e6.add(e6.mul_by_v(b), a)
-        return e12.build([o0, o1])
-
-    def mul_01_by_01(self, d0, d1, c0, c1):
-        """(c0,c1,0,0,1,0)*(d0,d1,0,0,1,0) -> 01245 coeffs [x0..x4]
-        (bls12-381 e12_pairing.go:120 Mul01By01)."""
-        e2 = self.e2
-        x0 = e2.mul(c0, d0)
-        x1 = e2.mul(c1, d1)
-        x04 = e2.add(d0, c0)
-        x01 = e2.sub(e2.sub(e2.mul(e2.add(d0, d1), e2.add(c0, c1)), x0), x1)
-        x14 = e2.add(d1, c1)
-        one = e2.broadcast_to(e2.ones(), e2.eshape(x0))
-        z00 = e2.add(self._mul_by_xi(one), x0)
-        return (z00, x01, x1, x04, x14)
-
-    def mul_by_01245(self, z, xs):
-        """z * (x0, x1, x2, 0, x4, x5) (bls12-381 MulBy01245)."""
-        e6, e12 = self.e6, self.e12
-        x0, x1, x2, x4, x5 = xs
-        zero2 = self.e2.zeros(self.e2.eshape(x0))
-        c0 = e6.build([x0, x1, x2])
-        c1 = e6.build([zero2, x4, x5])
-        z0, z1 = e12.coeff(z, 0), e12.coeff(z, 1)
-        a = e6.mul(e6.add(z0, z1), e6.add(c0, c1))
-        b = e6.mul(z0, c0)
-        c = self._e6_mul_by_12(z1, x4, x5)
-        o1 = e6.sub(e6.sub(a, b), c)
-        o0 = e6.add(e6.mul_by_v(c), b)
-        return e12.build([o0, o1])
 
 
 # ---------------------------------------------------------------------------

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from gnark_crypto_tpu.field.api import FieldEngine, for_spec
 from gnark_crypto_tpu.specs.field import FieldSpec
 from gnark_crypto_tpu.towers.engine import CubicExtEngine, QuadExtEngine
-from gnark_crypto_tpu.towers.tower12 import _h2_mul, _h2_pow
+from gnark_crypto_tpu.towers.tower12 import (SparseLineMixin,
+                                             _h2_mul, _h2_pow)
 
 
 # -- host-side exact Fp4 arithmetic (E2 pairs; v^2 = vsq, u^2 = beta) --------
@@ -49,7 +50,7 @@ def _h4_pow(a, e, p, beta, vsq=(0, 1)):
     return r
 
 
-class Tower24:
+class Tower24(SparseLineMixin):
     def __init__(self, name: str, fp_spec: FieldSpec, beta: int,
                  v_sq=(0, 1), fp=None, quad_cls=QuadExtEngine,
                  cubic_cls=CubicExtEngine):

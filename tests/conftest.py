@@ -62,13 +62,70 @@ _HEAVY_FIRST = ("test_pairing", "test_bw6", "test_tower24", "test_mpcsetup",
                 "test_signatures", "test_towers")
 
 
+# -- smoke tier: one fast test per module (run: pytest -m smoke -n 0) --------
+# The full CPU suite takes 1.5-2 h (XLA compile physics); this tier makes the
+# whole framework verifiable end-to-end in one sitting (<10 min). For
+# parameterized tests only the FIRST collected param is marked.
+
+_SMOKE = {
+    "test_bw6.py": "test_e6_field_laws",
+    "test_curve_g1.py": "test_add_double_vs_oracle",
+    "test_dist.py": "test_dist_fft_matches_single_chip",
+    "test_entry.py": "test_entry_traces",
+    "test_fiat_shamir.py": "test_transcript_basic_and_idempotent",
+    "test_field_f31.py": "test_ring_ops",
+    "test_field_f64.py": "test_ring_ops",
+    "test_field_laws.py": "test_ring_laws",
+    "test_field_mont.py": "test_roundtrip",
+    "test_glv.py": "test_decompose",
+    "test_gnark_dump.py": "test_dump_roundtrip",
+    "test_group_extras.py": "test_joint_scalar_mul",
+    "test_gt.py": "test_gt_exp_facade",
+    "test_gt_bytes.py": "test_gt_golden_generator_pair",
+    "test_hash_to_curve.py": "test_expand_and_hash_to_field_vectors",
+    "test_iop_pedersen.py": "test_basis_roundtrips",
+    "test_kzg.py": "test_open_verify_roundtrip",
+    "test_marshal.py": "test_g1_roundtrip_and_flags",
+    "test_merkletree.py": "test_prove_verify_all_indices",
+    "test_mimc.py": "test_bn254_golden_vectors",
+    "test_mpcsetup.py": "test_kzg_ceremony_two_contributions",
+    "test_msm.py": "test_msm_vs_oracle",
+    "test_msm_internals.py": "test_log_batch_inverse_matches_fermat",
+    "test_ntt.py": "test_fft_matches_dft",
+    "test_pairing.py": "test_pairing_bilinear",
+    "test_pallas_kernels.py": "test_pallas_jac_add_double_matches_engine",
+    "test_pallas_ntt.py": "test_pallas_stages_match_xla",
+    "test_poseidon2.py": "test_koalabear_golden_vectors",
+    "test_serialization.py": "test_fr_vector_roundtrip",
+    "test_shplonk_fflonk.py": "test_shplonk_roundtrip",
+    "test_signatures.py": "test_eddsa_sign_verify",
+    "test_sis.py": "test_koalabear_golden",
+    "test_smallfield_towers.py": "test_field_laws",
+    "test_subgroup.py": "test_g1_fast_subgroup_check",
+    "test_tower24.py": "test_e24_field_laws",
+    "test_towers.py": "test_field_laws",
+    "test_vm.py": "test_vm_ops_vs_mont",
+    "test_vortex.py": "test_vortex_commit_open_verify",
+    "test_protocols_bw6.py": "test_kzg_roundtrip",
+}
+
+
 def pytest_collection_modifyitems(session, config, items):
     """Run the compile-heaviest modules first: the XLA:CPU backend_compile
     segfault is strongly correlated with how much compilation a process has
     already done, so the big pairing/protocol programs get fresh LLVM state
-    and the cheap modules absorb the late-life risk."""
+    and the cheap modules absorb the late-life risk. Also applies the
+    smoke-tier markers (one fast test per module, first param only)."""
     items.sort(key=lambda it: 0 if any(h in it.nodeid for h in _HEAVY_FIRST)
                else 1)
+    import pytest as _pytest
+    smoked = set()
+    for item in items:
+        mod = os.path.basename(str(item.fspath))
+        if (_SMOKE.get(mod) == item.name.split("[")[0]
+                and mod not in smoked):
+            item.add_marker(_pytest.mark.smoke)
+            smoked.add(mod)
 
 
 # -- rerun tests whose worker crashed (environmental jaxlib bug) -------------

@@ -112,10 +112,11 @@ def test_bls24_pairing_bilinear(name):
     assert bool(np.asarray(e24.equal(e24.exp_const(base, r), one)))
 
 
-@pytest.mark.parametrize("name", CURVES)
+@pytest.mark.parametrize("name", CURVES + ["bls24_315"])
 def test_pair_fixed_q_matches_pair(name):
     """PairFixedQ == Pair on the same pairs (reference pairing_test.go
-    TestMillerLoopFixedQ analogue), batch of 2 with distinct Qs."""
+    TestMillerLoopFixedQ analogue), batch of 2 with distinct Qs.
+    bls24_315 covers the E4-level sparse consumption (e24_pairing.go)."""
     from gnark_crypto_tpu.pairing import lines as ln
 
     g1 = g1_curve(name)
