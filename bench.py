@@ -33,11 +33,24 @@ GNARK_FFT_2_20_ELEMS_PER_SEC = 5.2e7  # derived anchor (BASELINE.md table)
 # {metric key: anchor in the metric's own unit}
 ANCHORS = {
     "koalabear_ntt_2^20": 5.0e7,        # elems/s
+    "bn254_ntt_2^24": 4.8e7,            # elems/s (201M muls model)
+    "goldilocks_ntt_2^20": 7.0e7,       # elems/s (1-word mul ~2x f31 cost)
     "bn254_g1_msm_2^16": 2.2e6,         # pts/s
     "bn254_g1_msm_2^20": 3.0e6,
     "bn254_g1_msm_2^24": 3.7e6,
+    "bn254_g2_msm_2^16": 7.3e5,         # pts/s (Fp2 ops ~3x Fp)
     "bn254_pairing_x2048": 3.5e4,       # pairs/s (24-core batch)
     "bls12_381_pairing_x2048": 2.5e4,   # ~1.4x bn254 cost per pairing
+    "bls24_315_pairing_x2048": 1.5e4,   # E24 tower ~2.3x bn254 cost
+    "bw6_761_pairing_x1024": 4.0e3,     # 761-bit field ~9x mul cost
+    "bn254_kzg_commit_2^16": 2.2e6,     # pts/s (== the MSM anchor)
+    "bn254_kzg_open_2^16": 2.0e6,       # pts/s (MSM + n division muls)
+    "bn254_kzg_verify": 7.7e2,          # verifies/s (2 pairings + 2 SM,
+                                        # single proof ~1.3 ms one core)
+    "koalabear_sis512_16_2^16": 4.0e7,  # elems/s (fused AVX-512 kernel)
+    "goldilocks_sis512_16_2^16": 2.0e7,  # elems/s (4 limbs/elem vs 2)
+    "koalabear_poseidon2_16_2^16": 1.0e7,  # perms/s (SIMD permutation16)
+    "goldilocks_poseidon2_12_2^16": 5.0e6,  # perms/s (64-bit lanes)
 }
 
 # Global wall-clock budget: the persistent compile cache does NOT hit on
@@ -221,17 +234,22 @@ def bench_msm(n=1 << 16, iters=4):
 def bench_pairing(name="bn254", batch=2048, iters=2):
     """Full pairing throughput, batched lanes (pairing_test.go:538).
 
-    pair() auto-routes to the straight-line Pallas VM on TPU (all 7
-    families since round 4); the eager step-kernel path remains the
-    fallback where the VM is unavailable."""
+    pair() auto-routes to the straight-line Pallas VM on TPU (per-family
+    tile widths — ALL 7 families run on-chip since round 5); the eager
+    step-kernel path remains the fallback on transient compile failures,
+    and the tier that actually ran is reported next to the number."""
     import jax
-    from gnark_crypto_tpu.curve.g2 import g2_curve
     from gnark_crypto_tpu.curve.jacobian import Affine, curve_ops
     from gnark_crypto_tpu.pairing import api as pairing_api
+    from gnark_crypto_tpu.pairing import vm_pairing
     from gnark_crypto_tpu.specs import curve as cs
 
     g1 = curve_ops(cs.get_curve(f"{name}_g1"))
-    g2 = g2_curve(name)
+    if name.startswith("bw6"):
+        g2 = curve_ops(cs.get_curve(f"{name}_g2"))
+    else:
+        from gnark_crypto_tpu.curve.g2 import g2_curve
+        g2 = g2_curve(name)
     gp = g1.generator_affine()
     gq = g2.generator_affine()
     P = Affine(g1.fp.broadcast_to(gp.x, (batch,)),
@@ -241,6 +259,7 @@ def bench_pairing(name="bn254", batch=2048, iters=2):
 
     def sync(v):
         np.asarray(jax.tree.leaves(v)[0].ravel()[:1])
+    vm_pairing.reset_vm(name)   # fresh VM attempt even after earlier fails
     r = pairing_api.pair(name, P, QX, QY)
     sync(r)
     t0 = time.perf_counter()
@@ -248,7 +267,171 @@ def bench_pairing(name="bn254", batch=2048, iters=2):
         r = pairing_api.pair(name, P, QX, QY)
         sync(r)
     dt = (time.perf_counter() - t0) / iters
-    return batch / dt, dt
+    return batch / dt, dt, {"tier": vm_pairing.vm_tier(name)}
+
+
+_KZG = {}
+
+
+def bench_kzg_commit(n=1 << 16, iters=4):
+    """KZG commit end-to-end (kzg.go:160 Commit == MSM over the SRS;
+    kzg_test.go:560 BenchmarkKZGCommit)."""
+    from gnark_crypto_tpu.protocols import kzg
+
+    if "srs" not in _KZG:
+        _KZG["srs"] = kzg.new_srs("bn254", n, 0x1CEB00DA)
+        _KZG["poly"] = _msm_points_scalars(n)[2]  # random fr rows
+    srs, poly = _KZG["srs"], _KZG["poly"]
+    com = kzg.commit("bn254", srs.pk, poly)
+    np.asarray(com.x.ravel()[:1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        com = kzg.commit("bn254", srs.pk, poly)
+    np.asarray(com.x.ravel()[:1])
+    dt = (time.perf_counter() - t0) / iters
+    _KZG["com"] = com
+    return n / dt, dt
+
+
+def bench_kzg_open(n=1 << 16, iters=2):
+    """KZG open: synthetic division + quotient MSM (kzg.go:181 Open,
+    kzg_test.go:607 BenchmarkKZGOpen)."""
+    import jax.numpy as jnp
+    from gnark_crypto_tpu.protocols import kzg
+
+    from gnark_crypto_tpu.curve.jacobian import curve_ops
+    from gnark_crypto_tpu.specs import curve as cs
+
+    srs, poly = _KZG["srs"], _KZG["poly"]
+    fr = curve_ops(cs.get_curve("bn254_g1")).fr
+    point = jnp.asarray(fr.from_int([0x123456789ABCDEF], mont=False))
+    pf = kzg.open_poly("bn254", srs.pk, poly, point)
+    np.asarray(pf.h.x.ravel()[:1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        pf = kzg.open_poly("bn254", srs.pk, poly, point)
+    np.asarray(pf.h.x.ravel()[:1])
+    dt = (time.perf_counter() - t0) / iters
+    _KZG["proof"], _KZG["point"] = pf, point
+    return n / dt, dt
+
+
+def bench_kzg_verify(iters=4):
+    """KZG verify: 2-pairing check (kzg.go:208, kzg_test.go:622)."""
+    from gnark_crypto_tpu.protocols import kzg
+
+    srs = _KZG["srs"]
+    com, pf, point = _KZG["com"], _KZG["proof"], _KZG["point"]
+    ok = kzg.verify("bn254", com, pf, point, srs.vk)
+    assert bool(np.asarray(ok)), "bench proof must verify"
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ok = kzg.verify("bn254", com, pf, point, srs.vk)
+    np.asarray(ok).ravel()
+    dt = (time.perf_counter() - t0) / iters
+    return 1.0 / dt, dt
+
+
+def bench_g2_msm(n=1 << 16, iters=2):
+    """bn254 G2 MSM (multiexp_test.go:711 BenchmarkMultiExpG2)."""
+    import jax.numpy as jnp
+    from gnark_crypto_tpu.curve.g2 import g2_curve
+    from gnark_crypto_tpu.curve.jacobian import Affine
+    from gnark_crypto_tpu.msm.pippenger import msm
+
+    g2 = g2_curve("bn254")
+    gq = g2.generator_affine()
+    # distinct points: [i+1]G2 for 2^10 points, tiled to n
+    nbase = min(n, 1 << 10)
+    base = g2.from_affine(Affine(
+        g2.fp.broadcast_to(gq.x, (nbase,)),
+        g2.fp.broadcast_to(gq.y, (nbase,))))
+    small = g2.fr.from_int([i + 1 for i in range(nbase)], mont=False)
+    pts1 = g2.to_affine(g2.scalar_mul(base, small, nbits=11))
+    reps = n // nbase
+    pts = Affine(jnp.tile(pts1.x, (reps,) + (1,) * (pts1.x.ndim - 1)),
+                 jnp.tile(pts1.y, (reps,) + (1,) * (pts1.y.ndim - 1)))
+    k_dev = _msm_points_scalars(n)[2]
+    res = msm(g2, pts, k_dev)
+    np.asarray(res.x.ravel()[:1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = msm(g2, pts, k_dev)
+    np.asarray(res.x.ravel()[:1])
+    dt = (time.perf_counter() - t0) / iters
+    return n / dt, dt
+
+
+def bench_sis(field="koalabear", n=1 << 16, iters=4):
+    """Ring-SIS hash throughput, degree-512 beta=2^16 instance (the
+    reference's fused sis512_16 AVX kernel tier, field/<f>/sis)."""
+    import jax
+    import jax.numpy as jnp
+    from gnark_crypto_tpu.hashes.sis import rsis
+    from gnark_crypto_tpu.specs import field as fs
+
+    spec = fs.get_field(field)
+    inst = rsis(field, 42, 9, 16, n)
+    rng = np.random.default_rng(5)
+    if spec.name == "goldilocks":
+        v = jnp.asarray(rng.integers(0, 1 << 32, (n, 2), dtype=np.uint32))
+        v = v.at[:, 1].set(v[:, 1] & np.uint32(0x7FFFFFFF))
+    else:
+        v = jnp.asarray(
+            rng.integers(0, spec.modulus, size=(n,), dtype=np.uint32))
+    fn = jax.jit(inst.hash)
+    r = fn(v)
+    np.asarray(r.ravel()[:1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(v)
+        np.asarray(r.ravel()[:1])
+    dt = (time.perf_counter() - t0) / iters
+    return n / dt, dt
+
+
+def bench_goldilocks_poseidon2(n=1 << 16, iters=10):
+    """goldilocks Poseidon2-12 on the f64 2x32 engine (round-4 engine,
+    first benched round 5; field/goldilocks/poseidon2 tier)."""
+    import jax
+    import jax.numpy as jnp
+    from gnark_crypto_tpu.hashes.poseidon2 import poseidon2
+
+    perm = poseidon2("goldilocks", 12)
+    rng = np.random.default_rng(3)
+    state = jnp.asarray(rng.integers(0, 1 << 32, size=(12, n, 2),
+                                     dtype=np.uint32))
+    state = state.at[..., 1].set(state[..., 1] & np.uint32(0x7FFFFFFF))
+    fn = jax.jit(perm.permutation)
+    r = fn(state)
+    np.asarray(r.ravel()[:1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(r)
+    np.asarray(r.ravel()[:1])
+    dt = (time.perf_counter() - t0) / iters
+    return n / dt, dt
+
+
+def bench_vortex_commit(rows_n=64, nb_cols=1 << 10, iters=2):
+    """Vortex commit: RS-encode rows + SIS columns + Merkle
+    (field/koalabear/vortex prover.go:48; reported in columns/s)."""
+    from gnark_crypto_tpu.protocols import vortex
+
+    p = vortex.new_params(nb_cols, rows_n, num_selected_columns=16)
+    rng = np.random.default_rng(7)
+    q = p.eng.spec.modulus
+    rows = p.eng.from_int(
+        [int(v) for v in rng.integers(0, q, size=(rows_n * nb_cols,))],
+        mont=False).reshape(rows_n, nb_cols)
+    ps = vortex.commit(p, rows)
+    np.asarray(np.asarray(ps.root).ravel()[:1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ps = vortex.commit(p, rows)
+        np.asarray(np.asarray(ps.root).ravel()[:1])
+    dt = (time.perf_counter() - t0) / iters
+    return nb_cols * 2 / dt, dt  # encoded columns hashed per second
 
 
 def bench_poseidon2(n=1 << 16, iters=10):
@@ -326,26 +509,47 @@ def main():
     for name, (_, vdt) in ntt_all.items():
         extra[f"bn254_ntt_{name}_ms"] = round(vdt * 1e3, 2)
     _emit(ntt_rate, extra)  # primary metric is safe from here on
-    # (name, fn, rough compile budget needed to even start it)
-    for key, fn, need in [("koalabear_ntt_2^20", bench_f31_ntt, 120),
-                          ("goldilocks_ntt_2^20", bench_goldilocks_ntt, 120),
-                          ("bn254_g1_msm_2^16", bench_msm, 400),
-                          ("bn254_pairing_x2048", bench_pairing, 500),
-                          ("koalabear_poseidon2_16_2^16", bench_poseidon2,
-                           60),
-                          ("bn254_g1_msm_2^20",
-                           lambda: bench_msm(1 << 20, iters=2), 420),
-                          ("bls12_381_pairing_x2048",
-                           lambda: bench_pairing("bls12_381"), 500),
-                          ("bn254_g1_msm_2^24",
-                           lambda: bench_msm(1 << 24, iters=1), 800)]:
+    # (name, fn, rough compile budget needed to even start it). Ordering
+    # exploits shared compiled programs: kzg commit/open reuse the MSM
+    # 2^16 phase kernels; kzg verify reuses the bn254 pairing VM program.
+    for key, fn, need in [
+            ("koalabear_ntt_2^20", bench_f31_ntt, 120),
+            ("goldilocks_ntt_2^20", bench_goldilocks_ntt, 120),
+            ("bn254_g1_msm_2^16", bench_msm, 350),
+            ("bn254_pairing_x2048", bench_pairing, 300),
+            ("bn254_kzg_commit_2^16", bench_kzg_commit, 250),
+            ("bn254_kzg_open_2^16", bench_kzg_open, 120),
+            ("bn254_kzg_verify", bench_kzg_verify, 120),
+            ("koalabear_poseidon2_16_2^16", bench_poseidon2, 60),
+            ("goldilocks_poseidon2_12_2^16",
+             bench_goldilocks_poseidon2, 80),
+            ("koalabear_sis512_16_2^16", bench_sis, 120),
+            ("bn254_ntt_2^24", lambda: _ntt_once(1 << 24, 4), 150),
+            ("bn254_g1_msm_2^20",
+             lambda: bench_msm(1 << 20, iters=2), 400),
+            ("bls12_381_pairing_x2048",
+             lambda: bench_pairing("bls12_381"), 300),
+            ("bls24_315_pairing_x2048",
+             lambda: bench_pairing("bls24_315"), 300),
+            ("bw6_761_pairing_x1024",
+             lambda: bench_pairing("bw6_761", batch=1024), 300),
+            ("goldilocks_sis512_16_2^16",
+             lambda: bench_sis("goldilocks"), 120),
+            ("koalabear_vortex_commit_64x2^10", bench_vortex_commit, 200),
+            ("bn254_g2_msm_2^16", bench_g2_msm, 450),
+            ("bn254_g1_msm_2^24",
+             lambda: bench_msm(1 << 24, iters=1), 700)]:
         if _time_left() < need:
             extra[key + "_skipped"] = f"deadline ({round(_time_left())}s left)"
             continue
         try:
-            rate, dt = fn()
+            out = fn()
+            rate, dt = out[0], out[1]
             extra[key + "_per_sec"] = round(rate)
             extra[key + "_ms"] = round(dt * 1e3, 2)
+            if len(out) > 2:    # e.g. pairing tier: vm vs eager fallback
+                for k2, v2 in out[2].items():
+                    extra[f"{key}_{k2}"] = v2
             if key in ANCHORS:  # derived anchor, BASELINE.md table
                 extra[key + "_vs_anchor"] = round(rate / ANCHORS[key], 3)
         except Exception as e:  # never lose the primary metric

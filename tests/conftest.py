@@ -62,10 +62,12 @@ _HEAVY_FIRST = ("test_pairing", "test_bw6", "test_tower24", "test_mpcsetup",
                 "test_signatures", "test_towers")
 
 
-# -- smoke tier: one fast test per module (run: pytest -m smoke -n 0) --------
+# -- smoke tier: one fast test per module (run: pytest -m smoke -n 2) --------
 # The full CPU suite takes 1.5-2 h (XLA compile physics); this tier makes the
 # whole framework verifiable end-to-end in one sitting (<10 min). For
-# parameterized tests only the FIRST collected param is marked.
+# parameterized tests only the FIRST collected param is marked. Use -n 2,
+# not -n 0: the environmental XLA:CPU backend_compile segfault (below)
+# needs xdist's worker restart + the crash-rerun hook to self-heal.
 
 _SMOKE = {
     "test_bw6.py": "test_e6_field_laws",

@@ -193,3 +193,90 @@ def test_hash_to_g2_long_tail(name):
                         g2.fr.from_int([r], mont=False, reduce=False),
                         nbits=r.bit_length() + 1)
     assert bool(np.asarray(g2.is_inf_jac(res))[0])
+
+
+def test_secp256r1_svdw_independent_oracle():
+    """secp256r1 HashToG1 vs an exact-int SVDW oracle (RFC 9380 §6.6.1
+    straight-line svdw, same Z/constants the reference hardcodes in
+    ecc/secp256r1/hash_to_g1.go:77-81).
+
+    NOTE: the reference maps secp256r1 with SVDW, NOT the RFC 9380
+    ciphersuite P256_XMD:SHA-256_SSWU_RO_ (which is SSWU with Z=-10), so
+    the published P256 suite vectors do NOT apply — parity here means
+    gnark's own construction: u = fp.Hash (L = 48), MapToCurve1 = SVDW,
+    sum in Jacobian, no cofactor clearing (h = 1)."""
+    from gnark_crypto_tpu.curve.jacobian import curve_ops
+    from gnark_crypto_tpu.hashes import hash_to_curve as h2c
+    from gnark_crypto_tpu.specs import curve as cs
+
+    spec = cs.get_curve("secp256r1_g1")
+    p = spec.fp.modulus
+    a, b = spec.a % p, spec.b % p
+    Z = h2c.SVDW["secp256r1_g1"][0] % p
+
+    def g(x):
+        return (x * x * x + a * x + b) % p
+
+    # RFC 9380 F.1 constants from (Z, A, B)
+    c1 = g(Z)
+    c2 = (-Z * pow(2, -1, p)) % p
+    t = (3 * Z * Z + 4 * a) % p
+    c3 = pow((-c1 * t) % p, (p + 1) // 4, p)   # p = 3 mod 4 sqrt
+    if c3 % 2 != 0:                            # sgn0(c3) MUST be 0
+        c3 = p - c3
+    c4 = (-4 * c1 * pow(t, -1, p)) % p
+
+    def sgn0(x):
+        return x & 1
+
+    def is_square(x):
+        return x == 0 or pow(x, (p - 1) // 2, p) == 1
+
+    def sqrt(x):
+        return pow(x, (p + 1) // 4, p)
+
+    def svdw(u):
+        tv1 = (u * u * c1) % p
+        tv2 = (1 + tv1) % p
+        tv1 = (1 - tv1) % p
+        tv3 = pow((tv1 * tv2) % p, -1, p) if (tv1 * tv2) % p else 0
+        tv4 = (u * tv1 * tv3 * c3) % p
+        x1 = (c2 - tv4) % p
+        x2 = (c2 + tv4) % p
+        x3 = (Z + c4 * (tv2 * tv2 * tv3) ** 2) % p
+        if is_square(g(x1)):
+            x = x1
+        elif is_square(g(x2)):
+            x = x2
+        else:
+            x = x3
+        y = sqrt(g(x))
+        if sgn0(u) != sgn0(y):
+            y = p - y
+        return x, y
+
+    def ec_add(P, Q):
+        if P is None:
+            return Q
+        if Q is None:
+            return P
+        (x1, y1), (x2, y2) = P, Q
+        if x1 == x2 and (y1 + y2) % p == 0:
+            return None
+        if P == Q:
+            lam = (3 * x1 * x1 + a) * pow(2 * y1, -1, p) % p
+        else:
+            lam = (y2 - y1) * pow(x2 - x1, -1, p) % p
+        x3 = (lam * lam - x1 - x2) % p
+        return (x3, (lam * (x1 - x3) - y1) % p)
+
+    g1c = curve_ops(spec)
+    f = g1c.fp
+    dst = b"QUUX-V01-CS02-with-secp256r1-SVDW"
+    for msg in (b"", b"abc", b"gnark-crypto-tpu"):
+        u0, u1 = h2c.hash_to_field(spec.fp, msg, dst, 2)
+        want = ec_add(svdw(u0), svdw(u1))
+        got = h2c.hash_to_g1("secp256r1_g1", msg, dst)
+        gx = int(f.to_int(f.reshape(got.x, (1, -1)))[0])
+        gy = int(f.to_int(f.reshape(got.y, (1, -1)))[0])
+        assert (gx, gy) == want, msg
