@@ -84,7 +84,15 @@ def _ntt_once(n, iters):
 
     spec = fs.BN254_FR
     dom = Domain(spec, n, with_coset=False)
-    fn = jax.jit(lambda a: fftm.fft(dom, a, fftm.DIF))
+    if n <= 1 << 22:
+        # outer jit: one dispatch per transform (tunnel dispatch is
+        # 5-10 ms — significant against a 14 ms transform)
+        fn = jax.jit(lambda a: fftm.fft(dom, a, fftm.DIF))
+    else:
+        # eager at 2^23+: the four-step core self-jits with its twiddle
+        # tables as runtime ARGUMENTS; an outer jit would capture the
+        # 1.6 GB twist table as a program constant and OOM the chip
+        fn = lambda a: fftm.fft(dom, a, fftm.DIF)  # noqa: E731
     rng = np.random.default_rng(0)
     base = rng.integers(0, 1 << 12, size=(n, spec.n_limbs), dtype=np.int32)
     a = jnp.asarray(base)

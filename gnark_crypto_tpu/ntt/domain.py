@@ -80,13 +80,12 @@ class Domain:
         self.generator_inv = eng.from_int(self.generator_inv_int)
         self.cardinality_inv = eng.from_int(self.cardinality_inv_int)
 
-        # stage-0 twiddles: w^j for j in [0, n/2); stage s reads t0[::2^s]
-        if n >= 2:
-            self.twiddles0 = _exp_table(eng, self.generator, n // 2)
-            self.twiddles0_inv = _exp_table(eng, self.generator_inv, n // 2)
-        else:
-            self.twiddles0 = eng.ones((1,))
-            self.twiddles0_inv = eng.ones((1,))
+        # stage-0 twiddles: w^j for j in [0, n/2); stage s reads t0[::2^s].
+        # Built LAZILY: the Pallas four-step path never touches them, and at
+        # 2^24 the two tables are 1.5 GB of HBM (they OOMed the 2^24 bench
+        # before the laziness).
+        self._twiddles0 = None
+        self._twiddles0_inv = None
         if with_coset:
             self.coset_table = _exp_table(eng, eng.from_int(self.shift_int), n)
             self.coset_table_inv = _exp_table(
@@ -94,6 +93,26 @@ class Domain:
         else:
             self.coset_table = None
             self.coset_table_inv = None
+
+    @property
+    def twiddles0(self):
+        if self._twiddles0 is None:
+            # concrete even when first touched inside a jit trace (the
+            # cached array must not be a leaked tracer)
+            with jax.ensure_compile_time_eval():
+                self._twiddles0 = (
+                    _exp_table(self.eng, self.generator, self.n // 2)
+                    if self.n >= 2 else self.eng.ones((1,)))
+        return self._twiddles0
+
+    @property
+    def twiddles0_inv(self):
+        if self._twiddles0_inv is None:
+            with jax.ensure_compile_time_eval():
+                self._twiddles0_inv = (
+                    _exp_table(self.eng, self.generator_inv, self.n // 2)
+                    if self.n >= 2 else self.eng.ones((1,)))
+        return self._twiddles0_inv
 
     def stage_twiddles(self, stage: int, inverse: bool = False) -> jax.Array:
         """Twiddles for one stage: w^(j*2^stage), j in [0, n/2^(stage+1))."""

@@ -484,6 +484,16 @@ def _c_blocks(spec: FieldSpec, root: int, kk: int, lp: int) -> jax.Array:
     return jnp.asarray(cols)
 
 
+def _c4_offs(kk: int) -> dict:
+    """Static block offsets of the radix-4 constant table for size 2^kk
+    (derived from kk alone so the jitted core can rebuild them)."""
+    offs, total = {}, 0
+    for s in range(0, kk - 1, 2):
+        offs[s] = total
+        total += 5 * ((1 << kk) >> (s + 2))
+    return offs
+
+
 def _c4_blocks(spec: FieldSpec, root: int, kk: int, lp: int):
     """Radix-4 twiddle-constant blocks for fused stage pairs (s, s+1).
 
@@ -495,11 +505,8 @@ def _c4_blocks(spec: FieldSpec, root: int, kk: int, lp: int):
     b = spec.limb_bits
     L = spec.n_limbs
     S = 1 << kk
-    offs = {}
-    total = 0
-    for s in range(0, kk - 1, 2):
-        offs[s] = total
-        total += 5 * (S >> (s + 2))
+    offs = _c4_offs(kk)
+    total = sum(5 * (S >> (s + 2)) for s in range(0, kk - 1, 2))
     cols = np.zeros((lp, max(total, 1) * LANES), np.int32)
     shift2 = pow(2, 2 * b, q)
     for s in range(0, kk - 1, 2):
@@ -552,7 +559,13 @@ def _tables4(domain, inverse: bool):
     # Build eagerly even when first touched inside a jit trace: without this
     # the table construction (10 full-width masked muls for the twist table)
     # would be traced into the caller's graph and re-executed EVERY call
-    # (measured: 630 ms/transform instead of 21).
+    # (measured: 630 ms/transform instead of 21). When NOT tracing, build
+    # directly — ensure_compile_time_eval would lower the construction with
+    # the intermediate tables as captured CONSTANTS (3.22 GB at 2^24),
+    # transiently doubling HBM and OOMing the chip.
+    from jax._src import core as _core
+    if _core.trace_state_clean():
+        return _tables4_build(domain, inverse)
     with jax.ensure_compile_time_eval():
         return _tables4_build(domain, inverse)
 
@@ -622,15 +635,32 @@ def run_stages_four_step(domain, a, decimation: str, inverse: bool,
     With radix-4 fusing on, sub-NTT stages run as fused pairs whose outputs
     are block-permuted; the next consumer (stage / twist / canonicalize)
     undoes the permutation in its input index map, and the DIT unswap
-    applies it as a static column gather — no extra HBM passes anywhere."""
+    applies it as a static column gather — no extra HBM passes anywhere.
+
+    The compute core is jitted HERE with the twiddle tables as runtime
+    ARGUMENTS: eager per-op execution is ~1000x slower (21 s at 2^22), and
+    an outer jit over this function would capture the tables as program
+    constants (1.6 GB twist at 2^24 -> transient HBM doubling + OOM)."""
     spec = domain.eng.spec
-    n = domain.n
-    L = spec.n_limbs
     k1, k2, c1, c2, twist, cn, lp = _tables4(domain, inverse)
-    S1, S2 = 1 << k1, 1 << k2
     r4 = _radix4_enabled()
-    c1_4, c2_4 = _tables4_r4(domain, inverse) if r4 else ((None, None),
-                                                          (None, None))
+    if r4:
+        (c1_4t, _), (c2_4t, _) = _tables4_r4(domain, inverse)
+    else:
+        c1_4t = c2_4t = jnp.zeros((0,), jnp.int32)
+    return _four_step_jit(spec, k1, k2, lp, decimation, inverse, r4,
+                          interpret, a, c1, c2, twist, cn, c1_4t, c2_4t)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+def _four_step_jit(spec, k1: int, k2: int, lp: int, decimation: str,
+                   inverse: bool, r4: bool, interpret: bool,
+                   a, c1, c2, twist, cn, c1_4t, c2_4t):
+    n = 1 << (k1 + k2)
+    L = spec.n_limbs
+    S1, S2 = 1 << k1, 1 << k2
+    c1_4 = (c1_4t, _c4_offs(k1))
+    c2_4 = (c2_4t, _c4_offs(k2))
     x = jnp.zeros((lp, n), jnp.int32).at[:L, :].set(a.T)
 
     def swap(z):
