@@ -862,23 +862,40 @@ def msm(spec: CurveSpec, points: Affine, scalars, c: int | None = None) -> Jac:
     return _msm_jit(spec, points.x, points.y, c, scalars=scalars)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
-def _batch_scalar_mul_jit(spec, bx, by, c: int, scalars=None):
-    curve = _resolve(spec)
+def _bsm_table(curve: Curve, bx, by, c: int) -> Jac:
+    """Signed-digit base table [inf, B, 2B, .., half*B] by log-doubling
+    batch extension: T_{2S} = T_S ++ (T_S + [S]B) — log2(half) batched
+    adds instead of 2^(c-1) sequential ones (a half=512 sequential chain
+    inside one jit emits a 1.2 MB MLIR program that OOM-kills this
+    backend's remote compile helper — observed on kzg.new_srs at 2^16)."""
     f = curve.fp
     half = 1 << (c - 1)
-    n = scalars.shape[0]
-
-    # shared signed-digit base table [inf, B, 2B, .., half*B] — built once
-    # at batch 1 (2^(c-1) sequential adds, negligible vs the scan)
     b1 = Jac(f.reshape(bx, (1,)), f.reshape(by, (1,)),
              f.broadcast_to(f.ones(), (1,)))
-    entries = [curve.inf_jac((1,)), b1]
-    for _ in range(half - 1):
-        entries.append(curve.add(entries[-1], b1))
     table = Jac(*(jnp.concatenate(comp, axis=0)
-                  for comp in zip(*entries)))       # (half+1, ...)
+                  for comp in zip(curve.inf_jac((1,)), b1)))  # [0, B]
+    sb = b1                                  # [S]B with S = current size/1
+    while table.x.shape[0] < half:
+        S = table.x.shape[0]
+        sb = curve.add(sb, sb) if S > 2 else (
+            curve.add(b1, b1) if S == 2 else sb)  # [S]B
+        shifted = curve.add(table, Jac(*(jnp.broadcast_to(
+            a, (S, *a.shape[1:])) for a in sb)))
+        # entry 0 is infinity: shifted[0] = [S]B exactly (complete add)
+        table = Jac(*(jnp.concatenate([t, s], axis=0)
+                      for t, s in zip(table, shifted)))
+    top = curve.add(sb, sb) if half > 1 else b1   # [half]B
+    return Jac(*(jnp.concatenate([t, s], axis=0)
+                 for t, s in zip(table, top)))     # (half+1, ...)
 
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _bsm_scan(spec, c: int, tx, ty, tz, scalars=None):
+    """Windowed one-base ladder over a precomputed table (runtime arg)."""
+    curve = _resolve(spec)
+    f = curve.fp
+    n = scalars.shape[0]
+    table = Jac(tx, ty, tz)
     mags, negs = signed_digits(curve, scalars, c)
 
     def body(acc, xs):
@@ -893,6 +910,12 @@ def _batch_scalar_mul_jit(spec, bx, by, c: int, scalars=None):
     rev = jax.tree.map(lambda a: a[::-1], (mags, negs))  # MSB window first
     acc, _ = lax.scan(body, acc0, rev)
     return acc
+
+
+def _batch_scalar_mul_jit(spec, bx, by, c: int, scalars=None):
+    curve = _resolve(spec)
+    table = _bsm_table(curve, bx, by, c)
+    return _bsm_scan(spec, c, table.x, table.y, table.z, scalars=scalars)
 
 
 def batch_scalar_mul(spec: CurveSpec, base: Affine, scalars,

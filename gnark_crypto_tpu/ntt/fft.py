@@ -112,8 +112,11 @@ def _stage_index_stack(n: int, k: int, reverse: bool):
         los.append(lo)
         his.append(lo + half)
         tws.append((off << s).astype(np.int32))
-    return (jnp.asarray(np.stack(los)), jnp.asarray(np.stack(his)),
-            jnp.asarray(np.stack(tws)))
+    # concrete even when first touched inside a jit trace: the cached
+    # arrays must not be leaked tracers (observed via the vmapped SIS FFT)
+    with jax.ensure_compile_time_eval():
+        return (jnp.asarray(np.stack(los)), jnp.asarray(np.stack(his)),
+                jnp.asarray(np.stack(tws)))
 
 
 @functools.lru_cache(maxsize=None)

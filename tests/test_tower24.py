@@ -98,3 +98,68 @@ def test_bls24_pair_fixed_q_matches_pair(name):
     tabs = ln.precompute_lines(name, QX, QY)
     got = ln.pair_fixed_q(name, Pb, tabs)
     assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("name", ["bls24_315", "bls24_317"])
+def test_e24_sparse_line_muls(name):
+    """SparseLineMixin at the E4 level == dense E24 products
+    (e24_pairing.go:35 MulBy034, :88 Mul034By034, :155 MulBy01234;
+    the M-twist family exercises MulBy014/Mul01By01/MulBy01245).
+    These are exactly the ops the bls24 fixed-Q/eager/VM Miller loops
+    consume lines with."""
+    tw = get_tower24(name)
+    e4, e24 = tw.e2, tw.e12
+    rng = random.Random(11)
+    p = tw.p
+
+    def re4(n):
+        return e4.from_int([((rng.randrange(p), rng.randrange(p)),
+                             (rng.randrange(p), rng.randrange(p)))
+                            for _ in range(n)])
+
+    n = 2
+    z = rand_e24(tw, n, 13)
+    a, b, c, d = re4(n), re4(n), re4(n), re4(n)
+    zero = e4.zeros(e4.eshape(a))
+    one = e4.broadcast_to(e4.ones(), e4.eshape(a))
+
+    def dense(coeffs):
+        return tw.from_coeffs6(coeffs)
+
+    # D-twist shapes: (1,0,0,a,b,0) and (c,0,0,a,b,0)
+    want = e24.mul(z, dense([one, zero, zero, a, b, zero]))
+    got = tw.mul_by_34(z, a, b)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+    want = e24.mul(z, dense([c, zero, zero, a, b, zero]))
+    got = tw.mul_by_034(z, c, a, b)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+    xs = tw.mul_34_by_34(a, b, c, d)
+    want = e24.mul(dense([one, zero, zero, a, b, zero]),
+                   dense([one, zero, zero, c, d, zero]))
+    got = dense([xs[0], xs[1], xs[2], xs[3], xs[4], zero])
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+    want = e24.mul(z, dense([xs[0], xs[1], xs[2], xs[3], xs[4], zero]))
+    got = tw.mul_by_01234(z, xs)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+    # M-twist shapes: (a,b,0,0,1,0) and products
+    want = e24.mul(z, dense([a, b, zero, zero, one, zero]))
+    got = tw.mul_by_01(z, a, b)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+    want = e24.mul(z, dense([c, a, zero, zero, b, zero]))
+    got = tw.mul_by_014(z, c, a, b)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+    ys = tw.mul_01_by_01(a, b, c, d)
+    want = e24.mul(dense([a, b, zero, zero, one, zero]),
+                   dense([c, d, zero, zero, one, zero]))
+    got = dense([ys[0], ys[1], ys[2], zero, ys[3], ys[4]])
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+    want = e24.mul(z, dense([ys[0], ys[1], ys[2], zero, ys[3], ys[4]]))
+    got = tw.mul_by_01245(z, ys)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
