@@ -273,6 +273,36 @@ def _tail_pass(spec: FieldSpec, x, tw_tail, halves, dif: bool,
     )(x, tw_tail)
 
 
+def run_batch_small_f31(domain, a2, decimation: str, inverse: bool,
+                        interpret: bool = False):
+    """Batch of B independent small transforms, ONE fused-tail pass.
+
+    ``a2``: (B, n) uint32 with n = domain.n <= 8*128. A batch of
+    independent n-point NTTs is exactly the tail pass of a virtual big
+    NTT whose final log2(n) stages use the n-domain root: in the
+    column-major layout, block b occupies lanes [b*n/8, (b+1)*n/8) and
+    every stage's butterfly partners and twiddle pattern are periodic
+    with the block — so the existing ``_tail_kernel`` and ``_tables``
+    apply verbatim. This is the TPU face of the reference's fused
+    ``sis512_16`` batch-FFT (sis.go:142, element_vec_F31_sis_fft.go):
+    ~256 x 512-point transforms run VMEM-resident in one kernel.
+    """
+    spec = domain.eng.spec
+    B, n = a2.shape
+    assert n == domain.n and ROWS <= n <= ROWS * LANES
+    W = B * n // ROWS
+    tile = min(W, TILE_W)
+    while W % tile:
+        tile //= 2
+    assert tile % (n // ROWS) == 0, (tile, n)
+    halves = tuple(n >> (s + 1) for s in range(domain.k))
+    _big, tail = _tables(domain, inverse, tile)
+    x = a2.reshape(W, ROWS).T
+    x = _tail_pass(spec, x, tail, halves, decimation == "DIF", interpret,
+                   tile)
+    return x.T.reshape(B, n)
+
+
 # -- twiddle tables ----------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)

@@ -125,6 +125,40 @@ def _to_mont_scalar(fr, point):
     return fr.to_mont(point)
 
 
+@functools.lru_cache(maxsize=None)
+def _open_div_fn(name: str):
+    """Jitted synthetic-division core: eagerly its ~120 small ops are
+    dispatch-latency-bound through the device tunnel (~0.9 s at 2^16 vs
+    ~15 ms of compute)."""
+    g1c = _g1(name)
+    fr = g1c.fr
+
+    @jax.jit
+    def div(poly, point):
+        n = poly.shape[0]
+        a_m = _to_mont_scalar(fr, point)           # (1,) montgomery
+        pows = exp_table(fr, a_m, n)               # a^i (n,)
+        pm = fr.to_mont(poly)
+        terms = fr.mul(pm, pows)                   # p_i a^i
+        s = prefix_sum(fr, terms)                  # s_i
+        total = s[n - 1][None]
+        a_inv = fr.inverse(a_m)
+        inv_pows = exp_table(fr, a_inv, n + 1)     # a^-i
+        # q_i = (total - s_i) * a^-(i+1), i in [0, n-1); generic path
+        q_gen = fr.mul(fr.sub(fr.broadcast_to(total[0], (n,)), s),
+                       inv_pows[1:])
+        # a == 0 path: q_i = p_{i+1} (shift), claimed = p_0
+        q_zero = jnp.concatenate([pm[1:], fr.zeros((1,))], axis=0)
+        is_zero_pt = (fr.is_zero(a_m)[0] if a_m.ndim > fr.elem_dims
+                      else fr.is_zero(a_m))
+        q = fr.where(jnp.broadcast_to(is_zero_pt, (n,)), q_zero, q_gen)
+        q = fr.from_mont(q)[: n - 1] if n > 1 else fr.zeros((1,))
+        # s_{n-1} = P(a) covers a = 0 too (only the p_0 term survives)
+        return q, fr.from_mont(total)
+
+    return div
+
+
 def open_poly(name: str, pk: ProvingKey, poly, point) -> OpeningProof:
     """Opening proof at `point` (kzg.go:181 Open).
 
@@ -132,31 +166,33 @@ def open_poly(name: str, pk: ProvingKey, poly, point) -> OpeningProof:
     for a = 0 the quotient is simply the shifted coefficients.
     """
     g1c = _g1(name)
-    fr = g1c.fr
     n = poly.shape[0]
-    a_m = _to_mont_scalar(fr, point)           # (1,) montgomery
-    pows = exp_table(fr, a_m, n)               # a^i (n,)
-    pm = fr.to_mont(poly)
-    terms = fr.mul(pm, pows)                   # p_i a^i
-    s = prefix_sum(fr, terms)                  # s_i
-    total = s[n - 1][None]
-    a_inv = fr.inverse(a_m)
-    inv_pows = exp_table(fr, a_inv, n + 1)     # a^-i
-    # q_i = (total - s_i) * a^-(i+1), i in [0, n-1); generic path
-    q_gen = fr.mul(fr.sub(fr.broadcast_to(total[0], (n,)), s), inv_pows[1:])
-    # a == 0 path: q_i = p_{i+1} (shift), claimed = p_0
-    q_zero = jnp.concatenate([pm[1:], fr.zeros((1,))], axis=0)
-    is_zero_pt = fr.is_zero(a_m)[0] if a_m.ndim > fr.elem_dims else fr.is_zero(a_m)
-    q = fr.where(jnp.broadcast_to(is_zero_pt, (n,)), q_zero, q_gen)
-    q = fr.from_mont(q)[: n - 1] if n > 1 else fr.zeros((1,))
-    # s_{n-1} = P(a) covers a = 0 too (only the p_0 term survives)
-    claimed = fr.from_mont(total)
+    q, claimed = _open_div_fn(name)(poly, point)
     h = commit(name, pk, q) if n > 1 else _inf_aff(g1c)
     return OpeningProof(h=h, claimed_value=claimed)
 
 
 def _inf_aff(g1c):
     return Affine(g1c.fp.zeros((1,)), g1c.fp.zeros((1,)))
+
+
+@functools.lru_cache(maxsize=None)
+def _verify_total_fn(name: str):
+    """Jitted [y]G1 + [-a]H - C: the two eager 254-step scalar-mul
+    ladders are ~500 tunnel dispatches (~4 s) for ~2 ms of compute."""
+    g1c = _g1(name)
+
+    @jax.jit
+    def total_g1(gx, gy, hx, hy, cx, cy, y, neg_a):
+        gj = Jac(*(c for c in g1c.from_affine(Affine(gx, gy))))
+        t1 = g1c.scalar_mul(gj, y)
+        t2 = g1c.scalar_mul(g1c.from_affine(Affine(hx, hy)), neg_a)
+        total = g1c.add(t1, t2)
+        total = g1c.add(total, g1c.neg_jac(
+            g1c.from_affine(Affine(cx, cy))))
+        return g1c.to_affine(total)
+
+    return total_g1
 
 
 def verify(name: str, commitment: Affine, proof: OpeningProof, point,
@@ -168,13 +204,10 @@ def verify(name: str, commitment: Affine, proof: OpeningProof, point,
     fr = g1c.fr
     # totalG1 = [y]G1 + [-a]H - C
     y = proof.claimed_value
-    gj = Jac(*(c for c in g1c.from_affine(vk.g1)))
-    t1 = g1c.scalar_mul(gj, y)
     neg_a = _fr_neg_plain(fr, point)
-    t2 = g1c.scalar_mul(g1c.from_affine(proof.h), neg_a)
-    total = g1c.add(t1, t2)
-    total = g1c.add(total, g1c.neg_jac(g1c.from_affine(commitment)))
-    total_aff = g1c.to_affine(total)
+    total_aff = _verify_total_fn(name)(
+        vk.g1.x, vk.g1.y, proof.h.x, proof.h.y,
+        commitment.x, commitment.y, y, neg_a)
     px = jnp.concatenate([total_aff.x, proof.h.x], axis=0)
     py = jnp.concatenate([total_aff.y, proof.h.y], axis=0)
     if vk.lines is not None:

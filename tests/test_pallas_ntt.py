@@ -2,6 +2,7 @@
 
 import random
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -209,3 +210,33 @@ def test_pallas_f64_stages_match_xla(dom64, data64, decimation, inverse):
     got = run_stages_pallas_f64(dom64, data64, decimation, inverse,
                                 interpret=True)
     assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_batch_small_f31_matches_vmapped_fft():
+    """run_batch_small_f31 (the fused SIS batch-NTT pass) == vmapped
+    per-row fft, forward DIF and inverse DIT, degree 512 (the sis512_16
+    shape) and 64."""
+    import random as _random
+
+    from gnark_crypto_tpu.ntt.pallas_ntt_f31 import run_batch_small_f31
+
+    for n, B in ((512, 24), (64, 16)):
+        dom = Domain(fs.KOALABEAR, n, with_coset=False)
+        rng = _random.Random(n)
+        q = fs.KOALABEAR.modulus
+        a = jnp.asarray(
+            np.asarray([[rng.randrange(q) for _ in range(n)]
+                        for _ in range(B)], np.uint32))
+        want = jax.vmap(lambda p: fft_mod.fft(dom, p, fft_mod.DIF))(a)
+        got = run_batch_small_f31(dom, a, fft_mod.DIF, False,
+                                  interpret=True)
+        assert np.array_equal(np.asarray(got), np.asarray(want)), (n, B)
+        # inverse (DIT, no 1/n fold — run_batch is the raw stage pass)
+        want_i = jax.vmap(
+            lambda p: fft_mod.fft_inverse(dom, p, fft_mod.DIT))(want)
+        got_i = run_batch_small_f31(dom, got, fft_mod.DIT, True,
+                                    interpret=True)
+        eng = dom.eng
+        got_i = eng.mul(got_i, jnp.broadcast_to(
+            jnp.asarray(dom.cardinality_inv), got_i.shape))
+        assert np.array_equal(np.asarray(got_i), np.asarray(want_i)), n
