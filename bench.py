@@ -39,6 +39,7 @@ ANCHORS = {
     "bn254_g1_msm_2^20": 3.0e6,
     "bn254_g1_msm_2^24": 3.7e6,
     "bn254_pairing_x2048": 3.5e4,       # pairs/s (24-core batch)
+    "bn254_pairing_x2048_rerun": 3.5e4,
     "bls12_381_pairing_x2048": 2.5e4,   # ~1.4x bn254 cost per pairing
     "bls24_315_pairing_x2048": 1.5e4,   # E24 tower ~2.3x bn254 cost
     "bw6_761_pairing_x1024": 4.0e3,     # 761-bit field ~9x mul cost
@@ -553,7 +554,14 @@ def main():
              lambda: bench_sis("goldilocks", 1 << 18), 120),
             ("koalabear_vortex_commit_64x2^10", bench_vortex_commit, 200),
             ("bn254_g1_msm_2^24",
-             lambda: bench_msm(1 << 24, iters=1), 700)]:
+             lambda: bench_msm(1 << 24, iters=1), 700),
+            # re-measure the bn254 pairing at the end: its programs are
+            # already compiled in-process (~30 s), and the first run —
+            # right after the MSM phase — has measured transiently low
+            # (679 ms/iter vs 291 for the bls12-381 run minutes later);
+            # report both so one bad sample can't define the number
+            ("bn254_pairing_x2048_rerun",
+             lambda: bench_pairing("bn254", iters=3), 90)]:
         # bn254 G2 MSM is intentionally absent: without fused Fp2
         # tree-level kernels its accumulate compile takes 27.5 min on
         # this backend (measured round 5: 1654 s compile, then 769 ms =
