@@ -147,13 +147,22 @@ class RSis:
         import jax as _jax
 
         eng = self.eng
-        if (_jax.default_backend() == "tpu" and eng.elem_dims == 0
+        if (_jax.default_backend() == "tpu"
                 and 8 <= self.degree <= 1024):
-            from gnark_crypto_tpu.ntt.pallas_ntt_f31 import \
-                run_batch_small_f31
             ct = jnp.asarray(self.domain.coset_table)
-            mm = eng.mul(m, ct[None, :])
-            return run_batch_small_f31(self.domain, mm, fftm.DIF, False)
+            if eng.elem_dims == 0:
+                from gnark_crypto_tpu.ntt.pallas_ntt_f31 import \
+                    run_batch_small_f31
+                mm = eng.mul(m, ct[None, :])
+                return run_batch_small_f31(self.domain, mm, fftm.DIF,
+                                           False)
+            if (self.spec.limb_bits == 32 and self.spec.n_limbs == 2
+                    and (m.shape[0] * self.degree) % 1024 == 0):
+                from gnark_crypto_tpu.ntt.pallas_ntt_f64 import \
+                    run_batch_small_f64
+                mm = eng.mul(m, ct[None, :])
+                return run_batch_small_f64(self.domain, mm, fftm.DIF,
+                                           False)
         return jax.vmap(
             lambda p: fftm.fft(self.domain, p, fftm.DIF, coset=True))(m)
 

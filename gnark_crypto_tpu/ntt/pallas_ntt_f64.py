@@ -338,6 +338,30 @@ def run_stages_pallas_f64(domain, a, decimation: str, inverse: bool,
     return jnp.stack([x[0].T.reshape(n), x[1].T.reshape(n)], axis=-1)
 
 
+def run_batch_small_f64(domain, a3, decimation: str, inverse: bool,
+                        interpret: bool = False):
+    """Batch of B independent small transforms, ONE fused-tail pass.
+
+    ``a3``: (B, n, 2) uint32 pairs with n = domain.n <= 8*128 — the f64
+    face of pallas_ntt_f31.run_batch_small_f31 (same argument: a batch
+    of independent n-point NTTs is the tail of a virtual big NTT with
+    the n-domain root, so the existing kernel + tables apply verbatim).
+    Serves the goldilocks Ring-SIS batched pipeline (sis512_16 shape).
+    """
+    B, n, _w = a3.shape
+    assert n == domain.n and ROWS <= n <= ROWS * LANES
+    W = B * n // ROWS
+    tile = min(W, TILE_W)
+    assert W % tile == 0 and tile % (n // ROWS) == 0, (W, tile, n)
+    halves = tuple(n >> (s + 1) for s in range(domain.k))
+    _big, tail = _tables(domain, inverse, tile)
+    xl = a3[..., 0].reshape(W, ROWS).T
+    xh = a3[..., 1].reshape(W, ROWS).T
+    ol, oh = _tail_pass((xl, xh), tail, halves, decimation == "DIF",
+                        interpret)
+    return jnp.stack([ol.T.reshape(B, n), oh.T.reshape(B, n)], axis=-1)
+
+
 def supported(domain, a) -> bool:
     eng = domain.eng
     spec = getattr(eng, "spec", None)

@@ -240,3 +240,29 @@ def test_batch_small_f31_matches_vmapped_fft():
         got_i = eng.mul(got_i, jnp.broadcast_to(
             jnp.asarray(dom.cardinality_inv), got_i.shape))
         assert np.array_equal(np.asarray(got_i), np.asarray(want_i)), n
+
+
+def test_batch_small_f64_matches_vmapped_fft():
+    """run_batch_small_f64 (goldilocks batched SIS tail) == vmapped
+    per-row fft, forward + inverse, degree 512."""
+    import random as _random
+
+    from gnark_crypto_tpu.ntt.pallas_ntt_f64 import run_batch_small_f64
+
+    n, B = 512, 16
+    dom = Domain(fs.GOLDILOCKS, n, with_coset=False)
+    rng = _random.Random(77)
+    q = fs.GOLDILOCKS.modulus
+    eng = dom.eng
+    vals = [rng.randrange(q) for _ in range(B * n)]
+    a = eng.from_int(vals).reshape(B, n, 2)
+    want = jax.vmap(lambda p: fft_mod.fft(dom, p, fft_mod.DIF))(a)
+    got = run_batch_small_f64(dom, a, fft_mod.DIF, False, interpret=True)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+    want_i = jax.vmap(
+        lambda p: fft_mod.fft_inverse(dom, p, fft_mod.DIT))(want)
+    got_i = run_batch_small_f64(dom, got, fft_mod.DIT, True,
+                                interpret=True)
+    got_i = eng.mul(got_i, jnp.broadcast_to(
+        jnp.asarray(dom.cardinality_inv), got_i.shape))
+    assert np.array_equal(np.asarray(got_i), np.asarray(want_i))
