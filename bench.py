@@ -43,6 +43,9 @@ ANCHORS = {
     "bls12_381_pairing_x2048": 2.5e4,   # ~1.4x bn254 cost per pairing
     "bls24_315_pairing_x2048": 1.5e4,   # E24 tower ~2.3x bn254 cost
     "bw6_761_pairing_x1024": 4.0e3,     # 761-bit field ~9x mul cost
+    "bls12_377_pairing_x2048": 2.8e4,   # ~1.25x bn254 cost per pairing
+    "bls24_317_pairing_x2048": 1.5e4,   # E24 tower class (as bls24-315)
+    "bw6_633_pairing_x1024": 6.0e3,     # 633-bit ~10-word mul ~6x bn254
     "bn254_kzg_commit_2^16": 2.2e6,     # pts/s (== the MSM anchor)
     "bn254_kzg_open_2^16": 2.0e6,       # pts/s (MSM + n division muls)
     "bn254_kzg_verify": 7.7e2,          # verifies/s (2 pairings + 2 SM,
@@ -561,7 +564,16 @@ def main():
             # (679 ms/iter vs 291 for the bls12-381 run minutes later);
             # report both so one bad sample can't define the number
             ("bn254_pairing_x2048_rerun",
-             lambda: bench_pairing("bn254", iters=3), 90)]:
+             lambda: bench_pairing("bn254", iters=3), 90),
+            # complete the 7-family pairing matrix (programs compile in
+            # ~20-30 s each; the r5 rehearsal finished every prior extra
+            # with ~8 min to spare)
+            ("bls12_377_pairing_x2048",
+             lambda: bench_pairing("bls12_377"), 150),
+            ("bls24_317_pairing_x2048",
+             lambda: bench_pairing("bls24_317"), 150),
+            ("bw6_633_pairing_x1024",
+             lambda: bench_pairing("bw6_633", batch=1024), 150)]:
         # bn254 G2 MSM is intentionally absent: without fused Fp2
         # tree-level kernels its accumulate compile takes 27.5 min on
         # this backend (measured round 5: 1654 s compile, then 769 ms =
