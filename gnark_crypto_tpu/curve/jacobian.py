@@ -55,10 +55,20 @@ class Curve:
 
         self.a_is_zero = all(c == 0 for c in _flat(spec.a))
         # fused Pallas point kernels are available for curves over base
-        # prime fields (limb layout); towers (G2) stay on the XLA path
+        # prime fields (limb layout); quadratic towers (G2 over Fp2) get
+        # the stacked-tile kernels of field/pallas/point_add2.py
         self._pallas_ok = (isinstance(self.fp, FieldEngine)
                            and self.fp.elem_dims == 1
                            and isinstance(spec.a, int))
+        base = getattr(self.fp, "base", None)
+        nr = getattr(self.fp, "nr", None)
+        self._pallas2_ok = (not self._pallas_ok
+                            and getattr(self.fp, "degree", 0) == 2
+                            and isinstance(base, FieldEngine)
+                            and base.elem_dims == 1
+                            and isinstance(nr, int)
+                            and nr != 0 and -16 <= nr <= 16
+                            and self.a_is_zero)
 
     def _use_pallas_point(self, *coords) -> bool:
         """Route big batches to the fused Pallas add/double kernels

@@ -359,9 +359,12 @@ def _bucket_accumulate_affine(curve: Curve, points: Affine, mag, neg,
     pre = suf = Affine(px, py)    # leftmost / rightmost run partial sums
     pre_d = suf_d = key_s
     single = jnp.ones((m,), bool)  # node spans a single digit-run
-    fused = (curve._pallas_ok and jax.default_backend() == "tpu"
-             and not os.environ.get("GNARK_TPU_NO_PALLAS_POINT")
-             and px.ndim == 2)
+    pallas_on = (jax.default_backend() == "tpu"
+                 and not os.environ.get("GNARK_TPU_NO_PALLAS_POINT"))
+    fused = curve._pallas_ok and pallas_on and px.ndim == 2
+    # G2 over Fp2: the stacked-tile kernels (field/pallas/point_add2.py)
+    fused2 = (getattr(curve, "_pallas2_ok", False) and pallas_on
+              and px.ndim == 3)
 
     def emit(valid, d, pt: Affine, is_inf):
         e_keys.append(jnp.where(valid & (~is_inf), d, sentinel))
@@ -382,21 +385,31 @@ def _bucket_accumulate_affine(curve: Curve, points: Affine, mag, neg,
         eq = l_suf_d == r_pre_d
         emit_a = (~l_single) & ((~eq) | (~r_single))
         emit_b = (~eq) & (~r_single)
-        if fused:
-            # fused level kernels (field/pallas/point_add.py): one prep
-            # kernel (den/num/masks) + the shared inversion + one finish
-            # kernel (slope, outputs, tree selects) instead of ~7 mul
-            # dispatches and ~10 full-width selects
-            from gnark_crypto_tpu.field.pallas.point_add import (
-                affine_finish, affine_prep)
-            den, num, mbits = affine_prep(curve.spec.fp, curve.spec.a,
-                                          l_suf.x, l_suf.y,
-                                          r_pre.x, r_pre.y)
+        if fused or fused2:
+            # fused level kernels (field/pallas/point_add.py and the Fp2
+            # stacked-tile variants in point_add2.py): one prep kernel
+            # (den/num/masks) + the shared inversion + one finish kernel
+            # (slope, outputs, tree selects) instead of ~7 mul dispatches
+            # and ~10 full-width selects
+            if fused:
+                from gnark_crypto_tpu.field.pallas.point_add import (
+                    affine_finish, affine_prep)
+                prep = functools.partial(affine_prep, curve.spec.fp,
+                                         curve.spec.a)
+                finish = functools.partial(affine_finish, curve.spec.fp,
+                                           curve.spec.a)
+            else:
+                from gnark_crypto_tpu.field.pallas.point_add2 import (
+                    affine_finish2, affine_prep2)
+                prep = functools.partial(affine_prep2, curve.spec.fp,
+                                         curve.fp.nr)
+                finish = functools.partial(affine_finish2, curve.spec.fp,
+                                           curve.fp.nr)
+            den, num, mbits = prep(l_suf.x, l_suf.y, r_pre.x, r_pre.y)
             dinv = _log_batch_inverse(f, den)
             tb = (eq.astype(jnp.int32) + (l_single.astype(jnp.int32) << 1)
                   + (r_single.astype(jnp.int32) << 2))
-            (prex, prey, sufx, sufy, pax, pay, za) = affine_finish(
-                curve.spec.fp, curve.spec.a,
+            (prex, prey, sufx, sufy, pax, pay, za) = finish(
                 l_pre.x, l_pre.y, l_suf.x, l_suf.y,
                 r_pre.x, r_pre.y, r_suf.x, r_suf.y,
                 num, dinv, mbits, tb)

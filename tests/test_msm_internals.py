@@ -197,3 +197,71 @@ def test_fused_level_kernels_match_xla_level():
                            ("pta.y", pay, pt_a.y),
                            ("z_a", za, exp_za)]:
         assert np.array_equal(np.asarray(got), np.asarray(exp)), name
+
+
+@pytest.mark.parametrize("name", ["bn254", "bls12_377"])
+def test_fused_level_kernels_fp2_match_xla_level(name):
+    """Fp2 affine_prep2 + affine_finish2 (interpret mode) vs the XLA tower
+    level body, covering add / dbl / inverse / infinity lanes. bls12_377
+    exercises the nr = -5 small-mul path."""
+    from gnark_crypto_tpu.curve.g2 import g2_curve
+    from gnark_crypto_tpu.field.pallas.point_add2 import (affine_finish2,
+                                                          affine_prep2)
+
+    g2 = g2_curve(name)
+    f = g2.fp
+    g = g2.generator_affine()
+    gb = Affine(f.broadcast_to(g.x, (1,)), f.broadcast_to(g.y, (1,)))
+    pts = [g2.to_affine(g2.scalar_mul(
+        g2.from_affine(gb), g2.fr.from_int([k], mont=False), nbits=5))
+        for k in (1, 2, 3, 5, 7, 11)]
+
+    def neg(a):
+        return Affine(a.x, f.neg(a.y))
+
+    inf = Affine(f.zeros((1,)), f.zeros((1,)))
+    ls = [pts[0], pts[1], pts[2], pts[0], pts[3], inf, pts[4], inf]
+    rp = [pts[2], pts[3], pts[2], neg(pts[0]), pts[3], pts[1], inf, inf]
+    n = len(ls)
+    lp = [pts[i % 6] for i in range(n)]
+    rs = [pts[(i + 2) % 6] for i in range(n)]
+
+    def batch(ps):
+        return Affine(jnp.concatenate([p.x for p in ps], axis=0),
+                      jnp.concatenate([p.y for p in ps], axis=0))
+
+    l_pre, l_suf, r_pre, r_suf = batch(lp), batch(ls), batch(rp), batch(rs)
+    rng = np.random.default_rng(45)
+    eq = jnp.asarray(rng.integers(0, 2, size=(n,)) == 1)
+    l_single = jnp.asarray(rng.integers(0, 2, size=(n,)) == 1)
+    r_single = jnp.asarray(rng.integers(0, 2, size=(n,)) == 1)
+
+    # ---- oracle: the XLA tower level body
+    mid = pp._affine_add_complete(g2, l_suf, r_pre)
+    pt_a = pp._sel2(f, eq, mid, l_suf)
+    exp_pre = pp._sel2(f, l_single & eq, mid, l_pre)
+    exp_suf = pp._sel2(f, r_single & eq, mid, r_suf)
+    exp_za = f.where(g2.is_inf_affine(pt_a), f.zeros((n,)),
+                     f.broadcast_to(f.ones(), (n,)))
+
+    # ---- fused Fp2 kernels (interpret)
+    den, num, mbits = affine_prep2(g2.spec.fp, f.nr,
+                                   l_suf.x, l_suf.y, r_pre.x, r_pre.y,
+                                   interpret=True)
+    dinv = pp._log_batch_inverse(f, den)
+    tb = (eq.astype(jnp.int32) + (l_single.astype(jnp.int32) << 1)
+          + (r_single.astype(jnp.int32) << 2))
+    prex, prey, sufx, sufy, pax, pay, za = affine_finish2(
+        g2.spec.fp, f.nr,
+        l_pre.x, l_pre.y, l_suf.x, l_suf.y,
+        r_pre.x, r_pre.y, r_suf.x, r_suf.y,
+        num, dinv, mbits, tb, interpret=True)
+
+    for cname, got, exp in [("pre.x", prex, exp_pre.x),
+                            ("pre.y", prey, exp_pre.y),
+                            ("suf.x", sufx, exp_suf.x),
+                            ("suf.y", sufy, exp_suf.y),
+                            ("pta.x", pax, pt_a.x),
+                            ("pta.y", pay, pt_a.y),
+                            ("z_a", za, exp_za)]:
+        assert np.array_equal(np.asarray(got), np.asarray(exp)), cname
