@@ -80,7 +80,14 @@ def _dbl_core(mul, add2, sub2, dbl, a_is_zero, a_tile, x1, y1, z1):
 def _add_core(spec, l_pad, a_is_zero, a_tile, q_col,
               x1, y1, z1, x2, y2, z2):
     """Complete masked Jacobian add on limb tiles -> (ox, oy, oz)."""
-    mul, add2, sub2, dbl = _field_ops(spec, l_pad, q_col)
+    return _add_core_ops(_field_ops(spec, l_pad, q_col), a_is_zero, a_tile,
+                         x1, y1, z1, x2, y2, z2)
+
+
+def _add_core_ops(ops, a_is_zero, a_tile, x1, y1, z1, x2, y2, z2):
+    """Layout-agnostic add core: ``ops`` = (mul, add, sub, dbl) over any
+    tile layout (base-field (l_pad, T) or Fp2 stacked (2*l_pad, T))."""
+    mul, add2, sub2, dbl = ops
 
     # --- add-2007-bl (g1.go:332)
     z1z1 = mul(z1, z1)

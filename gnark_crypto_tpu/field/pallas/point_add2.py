@@ -261,3 +261,133 @@ def affine_finish2(spec: FieldSpec, nr: int,
       tr(rsy), tr(num), tr(dinv), trm(maskbits), trm(treebits),
       jnp.asarray(qt), jnp.asarray(onet))
     return tuple(_untr2(o, L, n, l_pad) for o in outs)
+
+
+# -- Fp2 Jacobian add / double / window fold ---------------------------------
+# Same cores as point_add.py (_add_core_ops / _dbl_core) instantiated over
+# the stacked-tile Fp2 ops; a == 0 only (all supported G2 twists).
+
+from gnark_crypto_tpu.field.pallas.point_add import (_add_core_ops,
+                                                     _dbl_core)
+
+
+def _jac_add2_kernel(spec: FieldSpec, l_pad: int, nr: int,
+                     x1r, y1r, z1r, x2r, y2r, z2r, qr,
+                     x3r, y3r, z3r):
+    ops = _fp2_ops(spec, l_pad, nr, qr[:])
+    ox, oy, oz = _add_core_ops(ops, True, None,
+                               x1r[:], y1r[:], z1r[:],
+                               x2r[:], y2r[:], z2r[:])
+    x3r[:] = ox
+    y3r[:] = oy
+    z3r[:] = oz
+
+
+def _jac_dbl2_kernel(spec: FieldSpec, l_pad: int, nr: int,
+                     x1r, y1r, z1r, qr, x3r, y3r, z3r):
+    mul, add2, sub2, dbl = _fp2_ops(spec, l_pad, nr, qr[:])
+    xd, yd, zd = _dbl_core(mul, add2, sub2, dbl, True, None,
+                           x1r[:], y1r[:], z1r[:])
+    x3r[:] = xd
+    y3r[:] = yd
+    z3r[:] = zd
+
+
+def _launch2(spec: FieldSpec, nr: int, kernel, coords, interpret: bool):
+    """pallas_call plumbing for (N, 2, L) Fp2 coordinate arrays."""
+    n, _, L = coords[0].shape
+    l_pad = _round_up(max(L, 8), 8)
+    n_pad = _round_up(n, TILE)
+    qt, _one = _q_one2_tiles(spec, l_pad)
+    kern = functools.partial(kernel, spec, l_pad, nr)
+    bs = pl.BlockSpec((2 * l_pad, TILE), lambda i: (0, i),
+                      memory_space=pltpu.VMEM)
+    qs = pl.BlockSpec((l_pad, TILE), lambda i: (0, 0),
+                      memory_space=pltpu.VMEM)
+    tr = functools.partial(_tr2, l_pad=l_pad, n_pad=n_pad)
+    out = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((2 * l_pad, n_pad), jnp.int32)] * 3,
+        grid=(n_pad // TILE,),
+        in_specs=[bs] * len(coords) + [qs],
+        out_specs=[bs] * 3,
+        interpret=interpret,
+    )(*(tr(c) for c in coords), jnp.asarray(qt))
+    return tuple(_untr2(o, L, n, l_pad) for o in out)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 8))
+def jac_add2(spec: FieldSpec, nr: int, x1, y1, z1, x2, y2, z2,
+             interpret: bool = False):
+    """Complete Jacobian add on (N, 2, L) Fp2 coordinate arrays."""
+    return _launch2(spec, nr, _jac_add2_kernel, (x1, y1, z1, x2, y2, z2),
+                    interpret)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 5))
+def jac_double2(spec: FieldSpec, nr: int, x1, y1, z1,
+                interpret: bool = False):
+    """Jacobian double on (N, 2, L) Fp2 coordinate arrays (infinity-safe)."""
+    return _launch2(spec, nr, _jac_dbl2_kernel, (x1, y1, z1), interpret)
+
+
+def _fold2_kernel(spec: FieldSpec, l_pad: int, nr: int, nwin: int, c: int,
+                  xr, yr, zr, qr, oxr, oyr, ozr):
+    """Horner window fold over Fp2 (point_add._fold_kernel counterpart):
+    window w in lane w; the whole c*(nwin-1) doubling chain in VMEM."""
+    q_col = qr[:]
+    ops = _fp2_ops(spec, l_pad, nr, q_col)
+    mul, add2, sub2, dbl = ops
+    lane = jax.lax.broadcasted_iota(jnp.int32, (2 * l_pad, TILE), 1)
+
+    def lane_bcast(t, w):
+        col = jnp.sum(jnp.where(lane == w, t, 0), axis=1, keepdims=True)
+        return jnp.broadcast_to(col, t.shape)
+
+    x, y, z = xr[:], yr[:], zr[:]
+    acc = (lane_bcast(x, nwin - 1), lane_bcast(y, nwin - 1),
+           lane_bcast(z, nwin - 1))
+
+    def dbl_once(_, acc):
+        return _dbl_core(mul, add2, sub2, dbl, True, None, *acc)
+
+    def body(i, acc):
+        ax, ay, az = jax.lax.fori_loop(0, c, dbl_once, acc)
+        w = nwin - 2 - i
+        tx, ty, tz = lane_bcast(x, w), lane_bcast(y, w), lane_bcast(z, w)
+        return _add_core_ops(ops, True, None, ax, ay, az, tx, ty, tz)
+
+    ax, ay, az = jax.lax.fori_loop(0, nwin - 1, body, acc)
+    oxr[:] = ax
+    oyr[:] = ay
+    ozr[:] = az
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 5, 6))
+def jac_fold_windows2(spec: FieldSpec, nr: int, x, y, z, c: int,
+                      interpret: bool = False):
+    """Horner fold of per-window totals over Fp2: x/y/z are (nwin, 2, L)
+    Jacobian coords, nwin <= TILE. Returns the fold as (1, 2, L) arrays."""
+    nwin, _, L = x.shape
+    assert nwin <= TILE
+    l_pad = _round_up(max(L, 8), 8)
+    qt, _one = _q_one2_tiles(spec, l_pad)
+
+    def tr(a):
+        t = jnp.zeros((2 * l_pad, TILE), jnp.int32)
+        t = t.at[:L, :nwin].set(a[:, 0].T)
+        return t.at[l_pad:l_pad + L, :nwin].set(a[:, 1].T)
+
+    kern = functools.partial(_fold2_kernel, spec, l_pad, nr, nwin, c)
+    bs = pl.BlockSpec((2 * l_pad, TILE), lambda: (0, 0),
+                      memory_space=pltpu.VMEM)
+    qs = pl.BlockSpec((l_pad, TILE), lambda: (0, 0),
+                      memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((2 * l_pad, TILE), jnp.int32)] * 3,
+        in_specs=[bs] * 3 + [qs],
+        out_specs=[bs] * 3,
+        interpret=interpret,
+    )(tr(x), tr(y), tr(z), jnp.asarray(qt))
+    return tuple(_untr2(o, L, 1, l_pad) for o in out)

@@ -45,10 +45,6 @@ def gt_exp(name: str, z, e: int):
             return eng.conjugate(eng.exp_const(z, -e))
         return eng.exp_const(z, e)
     tw = pairing12.get_ctx(name).tower
-    if not hasattr(tw, "gt_exp"):  # Tower24: NAF/GLV ladders not yet ported
-        if e < 0:
-            return tw.conjugate(tw.exp_cyclotomic(z, -e))
-        return tw.exp_cyclotomic(z, e)
     if abs(e) >= 1 << 129:
         return tw.gt_exp_glv(z, e)
     return tw.gt_exp(z, e)

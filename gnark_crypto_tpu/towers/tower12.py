@@ -75,6 +75,97 @@ def _gt_kernels(tw: "Tower12"):
     return jax.jit(tw.cyclotomic_square), jax.jit(tw.e12.mul)
 
 
+class GtExpMixin:
+    """GT exponentiation ladders shared by Tower12 and Tower24.
+
+    Written against the ``.e12`` top-engine alias + ``conjugate``/
+    ``cyclotomic_square``/``frobenius``, all of which both towers
+    provide (Tower24 aliases .e12 = E24), so one implementation
+    serves E12 (e12.go:512 CyclotomicExp / :552 ExpGLV) and E24
+    (e24.go CyclotomicExp / ExpGLV).
+    """
+
+    # -- GT exponentiation (runtime host scalars) ----------------------------
+
+    def gt_exp(self, x, e: int):
+        """x^e for cyclotomic x, NAF digits with free inversion (conjugate)
+        — the reference's CyclotomicExp (e12.go:512). e may be negative."""
+        e12 = self.e12
+        if e == 0:
+            return e12.broadcast_to(e12.ones(), e12.eshape(x))
+        if e < 0:
+            x = self.conjugate(x)
+            e = -e
+        digits = _naf(e)  # LSB first
+        xinv = self.conjugate(x)
+        from gnark_crypto_tpu.utils import hostloop
+        if not hostloop.is_tracing(x):
+            sq, mul = _gt_kernels(self)
+            res = None
+            for d in reversed(digits):
+                if res is not None:
+                    res = sq(res)
+                if d == 1:
+                    res = x if res is None else mul(res, x)
+                elif d == -1:
+                    res = xinv if res is None else mul(res, xinv)
+            return res
+        darr = jnp.asarray(digits[::-1], jnp.int32)
+
+        def body(res, d):
+            res = self.cyclotomic_square(res)
+            res = e12.where(d == 1, e12.mul(res, x), res)
+            res = e12.where(d == -1, e12.mul(res, xinv), res)
+            return res, None
+
+        res0 = e12.broadcast_to(e12.ones(), e12.eshape(x))
+        res, _ = jax.lax.scan(body, res0, darr)
+        return res
+
+    def gt_exp_glv(self, x, e: int):
+        """x^e via 2-dim GLV over the Frobenius endomorphism
+        (z^p == z^lambda on GT, lambda = p mod r) — e12.go:552 ExpGLV.
+        Halves the squaring count vs gt_exp; joint 1-bit ladder."""
+        e12 = self.e12
+        try:
+            from gnark_crypto_tpu.specs.curve import get_curve
+            r = get_curve(f"{self.name}_g1").fr.modulus
+        except KeyError:
+            return self.gt_exp(x, e)
+        if e == 0:
+            return e12.broadcast_to(e12.ones(), e12.eshape(x))
+        if e < 0:
+            x = self.conjugate(x)
+            e = -e
+        from gnark_crypto_tpu.specs.curve import _lattice_2d
+        lam = self.p % r
+        basis = _lattice_2d(r, lam)
+        k1, k2 = _decompose(e % r, lam, basis, r)
+        t1 = x if k1 >= 0 else self.conjugate(x)
+        fx = self.frobenius(x)
+        t2 = fx if k2 >= 0 else self.conjugate(fx)
+        k1, k2 = abs(k1), abs(k2)
+        t12 = e12.mul(t1, t2)
+        table = {1: t1, 2: t2, 3: t12}
+        nbits = max(k1.bit_length(), k2.bit_length())
+        from gnark_crypto_tpu.utils import hostloop
+        if hostloop.is_tracing(x):
+            # joint ladder needs host dispatch; inside a jit trace fall back
+            # to the scan-based NAF ladder (still correct, ~2x squarings)
+            return self.gt_exp(x, e)
+        sq, mul = _gt_kernels(self)
+        res = None
+        for i in range(nbits - 1, -1, -1):
+            if res is not None:
+                res = sq(res)
+            s = ((k2 >> i) & 1) << 1 | ((k1 >> i) & 1)
+            if s:
+                res = table[s] if res is None else mul(res, table[s])
+        if res is None:
+            res = e12.broadcast_to(e12.ones(), e12.eshape(x))
+        return res
+
+
 class SparseLineMixin:
     """Sparse Miller-line products, generic over tower level.
 
@@ -240,7 +331,7 @@ class SparseLineMixin:
 
 
 
-class Tower12(SparseLineMixin):
+class Tower12(GtExpMixin, SparseLineMixin):
     """Engines + constants for one Fp12 tower.
 
     Args mirror the reference's per-curve choices:
@@ -402,86 +493,6 @@ class Tower12(SparseLineMixin):
     def inverse_cyclotomic(self, x):
         """In the cyclotomic subgroup, x^-1 == conjugate(x)."""
         return self.conjugate(x)
-
-    # -- GT exponentiation (runtime host scalars) ----------------------------
-
-    def gt_exp(self, x, e: int):
-        """x^e for cyclotomic x, NAF digits with free inversion (conjugate)
-        — the reference's CyclotomicExp (e12.go:512). e may be negative."""
-        e12 = self.e12
-        if e == 0:
-            return e12.broadcast_to(e12.ones(), e12.eshape(x))
-        if e < 0:
-            x = self.conjugate(x)
-            e = -e
-        digits = _naf(e)  # LSB first
-        xinv = self.conjugate(x)
-        from gnark_crypto_tpu.utils import hostloop
-        if not hostloop.is_tracing(x):
-            sq, mul = _gt_kernels(self)
-            res = None
-            for d in reversed(digits):
-                if res is not None:
-                    res = sq(res)
-                if d == 1:
-                    res = x if res is None else mul(res, x)
-                elif d == -1:
-                    res = xinv if res is None else mul(res, xinv)
-            return res
-        darr = jnp.asarray(digits[::-1], jnp.int32)
-
-        def body(res, d):
-            res = self.cyclotomic_square(res)
-            res = e12.where(d == 1, e12.mul(res, x), res)
-            res = e12.where(d == -1, e12.mul(res, xinv), res)
-            return res, None
-
-        res0 = e12.broadcast_to(e12.ones(), e12.eshape(x))
-        res, _ = jax.lax.scan(body, res0, darr)
-        return res
-
-    def gt_exp_glv(self, x, e: int):
-        """x^e via 2-dim GLV over the Frobenius endomorphism
-        (z^p == z^lambda on GT, lambda = p mod r) — e12.go:552 ExpGLV.
-        Halves the squaring count vs gt_exp; joint 1-bit ladder."""
-        e12 = self.e12
-        try:
-            from gnark_crypto_tpu.specs.curve import get_curve
-            r = get_curve(f"{self.name}_g1").fr.modulus
-        except KeyError:
-            return self.gt_exp(x, e)
-        if e == 0:
-            return e12.broadcast_to(e12.ones(), e12.eshape(x))
-        if e < 0:
-            x = self.conjugate(x)
-            e = -e
-        from gnark_crypto_tpu.specs.curve import _lattice_2d
-        lam = self.p % r
-        basis = _lattice_2d(r, lam)
-        k1, k2 = _decompose(e % r, lam, basis, r)
-        t1 = x if k1 >= 0 else self.conjugate(x)
-        fx = self.frobenius(x)
-        t2 = fx if k2 >= 0 else self.conjugate(fx)
-        k1, k2 = abs(k1), abs(k2)
-        t12 = e12.mul(t1, t2)
-        table = {1: t1, 2: t2, 3: t12}
-        nbits = max(k1.bit_length(), k2.bit_length())
-        from gnark_crypto_tpu.utils import hostloop
-        if hostloop.is_tracing(x):
-            # joint ladder needs host dispatch; inside a jit trace fall back
-            # to the scan-based NAF ladder (still correct, ~2x squarings)
-            return self.gt_exp(x, e)
-        sq, mul = _gt_kernels(self)
-        res = None
-        for i in range(nbits - 1, -1, -1):
-            if res is not None:
-                res = sq(res)
-            s = ((k2 >> i) & 1) << 1 | ((k1 >> i) & 1)
-            if s:
-                res = table[s] if res is None else mul(res, table[s])
-        if res is None:
-            res = e12.broadcast_to(e12.ones(), e12.eshape(x))
-        return res
 
     # -- Karabina compressed cyclotomic squaring -----------------------------
     # (reference e12.go:142 CyclotomicSquareCompressed / :226

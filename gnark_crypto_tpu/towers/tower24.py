@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from gnark_crypto_tpu.field.api import FieldEngine, for_spec
 from gnark_crypto_tpu.specs.field import FieldSpec
 from gnark_crypto_tpu.towers.engine import CubicExtEngine, QuadExtEngine
-from gnark_crypto_tpu.towers.tower12 import (SparseLineMixin,
+from gnark_crypto_tpu.towers.tower12 import (GtExpMixin, SparseLineMixin,
                                              _h2_mul, _h2_pow)
 
 
@@ -50,7 +50,7 @@ def _h4_pow(a, e, p, beta, vsq=(0, 1)):
     return r
 
 
-class Tower24(SparseLineMixin):
+class Tower24(GtExpMixin, SparseLineMixin):
     def __init__(self, name: str, fp_spec: FieldSpec, beta: int,
                  v_sq=(0, 1), fp=None, quad_cls=QuadExtEngine,
                  cubic_cls=CubicExtEngine):

@@ -96,3 +96,58 @@ def test_pallas_mont_mul_matches_engine(spec):
     assert np.array_equal(np.asarray(got), np.asarray(expect))
     assert mont.to_int(spec, got) == [a * b % q for a, b in
                                       zip(vals_a, vals_b)]
+
+
+def test_pallas_fp2_jac_add_double_fold_match_engine():
+    """Fp2 Jacobian add/double + window fold kernels (interpret) vs the
+    tower-engine curve ops on G2 points incl. infinity/double lanes."""
+    import jax.numpy as jnp
+
+    from gnark_crypto_tpu.curve.g2 import g2_curve
+    from gnark_crypto_tpu.curve.jacobian import Affine, Jac
+    from gnark_crypto_tpu.field.pallas.point_add2 import (jac_add2,
+                                                          jac_double2,
+                                                          jac_fold_windows2)
+    from gnark_crypto_tpu.msm.pippenger import _fold_windows
+
+    g2 = g2_curve("bn254")
+    f = g2.fp
+    g = g2.generator_affine()
+    gb = Affine(f.broadcast_to(g.x, (1,)), f.broadcast_to(g.y, (1,)))
+
+    def kmul(k):
+        return g2.scalar_mul(g2.from_affine(gb),
+                             g2.fr.from_int([k], mont=False), nbits=5)
+
+    pts = [kmul(k) for k in (1, 2, 3, 5, 7, 11)]
+    inf = g2.inf_jac((1,))
+    A = [pts[0], pts[1], pts[2], inf, pts[3], inf]
+    B = [pts[2], pts[1], g2.neg_jac(pts[2]), pts[4], inf, inf]
+
+    def batch(ps):
+        return Jac(*(jnp.concatenate([getattr(p, fld) for p in ps], axis=0)
+                     for fld in ("x", "y", "z")))
+
+    a, b = batch(A), batch(B)
+    exp_add = g2.add(a, b)
+    got = Jac(*jac_add2(g2.spec.fp, f.nr, a.x, a.y, a.z, b.x, b.y, b.z,
+                        interpret=True))
+    assert bool(np.asarray(g2.eq_jac(got, exp_add)).all())
+
+    exp_dbl = g2.double(a)
+    gotd = Jac(*jac_double2(g2.spec.fp, f.nr, a.x, a.y, a.z,
+                            interpret=True))
+    # infinity encodes as z == 0 in both; compare projectively where z != 0
+    zmask = np.asarray(f.is_zero(exp_dbl.z))
+    eq = np.asarray(g2.eq_jac(gotd, exp_dbl))
+    assert bool((eq | zmask).all())
+    assert np.array_equal(np.asarray(f.is_zero(gotd.z)), zmask)
+
+    # fold: 6 windows incl. an infinity total
+    T = batch([pts[4], inf, pts[0], pts[2], pts[1], pts[3]])
+    c = 4
+    expect = _fold_windows(g2, T, c)
+    ox, oy, oz = jac_fold_windows2(g2.spec.fp, f.nr, T.x, T.y, T.z, c,
+                                   interpret=True)
+    gotf = Jac(ox[0], oy[0], oz[0])
+    assert bool(np.asarray(g2.eq_jac(gotf, expect)).all())

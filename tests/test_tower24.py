@@ -163,3 +163,30 @@ def test_e24_sparse_line_muls(name):
     want = e24.mul(z, dense([ys[0], ys[1], ys[2], zero, ys[3], ys[4]]))
     got = tw.mul_by_01245(z, ys)
     assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_e24_gt_exp():
+    """gt_exp (NAF CyclotomicExp) and gt_exp_glv (ExpGLV over the
+    Frobenius endomorphism) on E24, vs the generic square-multiply
+    ladder (reference e24.go CyclotomicExp / ExpGLV)."""
+    tw = get_tower24("bls24_315")
+    e24 = tw.e12
+    x = rand_e24(tw, 1, 11)
+    # cyclotomic projection: y = x^((p^12-1)(p^4+1))
+    y = e24.mul(tw.conjugate(x), e24.inverse(x))
+    y = e24.mul(tw.frobenius_quad(y), y)
+    e = 0xDEADBEEFCAFEBABE1234
+    assert np.array_equal(np.asarray(tw.gt_exp(y, e)),
+                          np.asarray(e24.exp_const(y, e)))
+    # x^-e * x^e == 1
+    one = e24.broadcast_to(e24.ones(), (1,))
+    prod = e24.mul(tw.gt_exp(y, -e), tw.gt_exp(y, e))
+    assert np.array_equal(np.asarray(prod), np.asarray(one))
+    # GLV path needs a true order-r GT element: project by phi_24(p)/r
+    from gnark_crypto_tpu.specs.curve import get_curve
+    p, r = tw.p, get_curve("bls24_315_g1").fr.modulus
+    cof = (p**8 - p**4 + 1) // r
+    z = e24.exp_const(y, cof)
+    big = r - 12345
+    assert np.array_equal(np.asarray(tw.gt_exp_glv(z, big)),
+                          np.asarray(e24.exp_const(z, big)))
