@@ -751,12 +751,20 @@ def _fold_windows(curve: Curve, totals: Jac, c: int):
     step — graph stays O(c).
     """
     nwin = totals.x.shape[0]
-    if (curve._pallas_ok and jax.default_backend() == "tpu"
-            and not os.environ.get("GNARK_TPU_NO_PALLAS_POINT")
-            and nwin <= 512 and totals.x.ndim == 2):
+    pallas_on = (jax.default_backend() == "tpu"
+                 and not os.environ.get("GNARK_TPU_NO_PALLAS_POINT")
+                 and nwin <= 512)
+    if curve._pallas_ok and pallas_on and totals.x.ndim == 2:
         from gnark_crypto_tpu.field.pallas.point_add import jac_fold_windows
         ox, oy, oz = jac_fold_windows(curve.spec.fp, curve.spec.a,
                                       totals.x, totals.y, totals.z, c)
+        return Jac(ox[0], oy[0], oz[0])
+    if (getattr(curve, "_pallas2_ok", False) and pallas_on
+            and totals.x.ndim == 3):
+        from gnark_crypto_tpu.field.pallas.point_add2 import (
+            jac_fold_windows2)
+        ox, oy, oz = jac_fold_windows2(curve.spec.fp, curve.fp.nr,
+                                       totals.x, totals.y, totals.z, c)
         return Jac(ox[0], oy[0], oz[0])
     acc = Jac(*jax.tree.map(lambda a: a[nwin - 1], totals))
     rest = jax.tree.map(lambda a: a[: nwin - 1][::-1], totals)
