@@ -574,11 +574,12 @@ def main():
              lambda: bench_pairing("bls24_317"), 150),
             ("bw6_633_pairing_x1024",
              lambda: bench_pairing("bw6_633", batch=1024), 150)]:
-        # bn254 G2 MSM is intentionally absent: without fused Fp2
-        # tree-level kernels its accumulate compile takes 27.5 min on
-        # this backend (measured round 5: 1654 s compile, then 769 ms =
-        # 10.6K pts/s at 2^13 — scratch/probe logs, PERF.md). Re-add
-        # once point_add.py grows Fp2 variants.
+        # bn254 G2 MSM stays a probe-only number: the fused Fp2 tree
+        # kernels (field/pallas/point_add2.py) now cover phase 1 + the
+        # fold, but each tree level is a distinct-width Mosaic compile
+        # and the remote compile helper pays ~20 min for the full set
+        # (measured: scratch/probe_msm_g2.py, PERF.md round-5 table) —
+        # too slow for the 45-min bench deadline alongside the matrix.
         if _time_left() < need:
             extra[key + "_skipped"] = f"deadline ({round(_time_left())}s left)"
             continue
